@@ -1,0 +1,10 @@
+from .voxelize import (
+    VoxelGrid,
+    bev_scatter,
+    dynamic_voxelize,
+    segment_max,
+    segment_mean,
+    segment_sum,
+    voxel_coords_of_points,
+)
+from .spherical import spherical_min_range_resample
