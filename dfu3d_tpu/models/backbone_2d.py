@@ -1,0 +1,86 @@
+"""2D BEV backbone (reference: backbones_2d/base_bev_backbone.py BaseBEVBackbone).
+
+Config-driven down/up branches + concat. NHWC layout (TPU-native); convs run in
+the module compute dtype (bf16 by default on TPU) with fp32 params and fp32 BN.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    transpose: bool = False
+    padding: object = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.transpose:
+            x = nn.ConvTranspose(
+                self.features, (self.kernel, self.kernel),
+                strides=(self.stride, self.stride), padding="SAME", use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32,
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features, (self.kernel, self.kernel),
+                strides=(self.stride, self.stride), padding=self.padding,
+                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class BaseBEVBackbone(nn.Module):
+    """config keys: LAYER_NUMS, LAYER_STRIDES, NUM_FILTERS, UPSAMPLE_STRIDES,
+    NUM_UPSAMPLE_FILTERS."""
+
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[float]
+    num_upsample_filters: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        """x: (B, H, W, C) → (B, H/out_stride, W/out_stride, sum(upsample filters))."""
+        ups = []
+        for i, num_layers in enumerate(self.layer_nums):
+            x = ConvBNReLU(
+                self.num_filters[i], stride=self.layer_strides[i], dtype=self.dtype,
+                name=f"block{i}_down",
+            )(x, train)
+            for j in range(num_layers):
+                x = ConvBNReLU(
+                    self.num_filters[i], dtype=self.dtype, name=f"block{i}_conv{j}"
+                )(x, train)
+            if i < len(self.upsample_strides):
+                stride = self.upsample_strides[i]
+                if stride >= 1:
+                    up = ConvBNReLU(
+                        self.num_upsample_filters[i], kernel=int(stride),
+                        stride=int(stride), transpose=True, dtype=self.dtype,
+                        name=f"deblock{i}",
+                    )(x, train)
+                else:
+                    # fractional "upsample" = downsample conv, kernel = stride
+                    # = round(1/s), no padding (reference base_bev_backbone.py:60-70)
+                    k = int(round(1 / stride))
+                    up = ConvBNReLU(
+                        self.num_upsample_filters[i], kernel=k, stride=k,
+                        padding="VALID", dtype=self.dtype, name=f"deblock{i}",
+                    )(x, train)
+                ups.append(up)
+        if len(ups) > 1:
+            return jnp.concatenate(ups, axis=-1)
+        return ups[0] if ups else x

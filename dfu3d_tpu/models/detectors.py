@@ -1,0 +1,116 @@
+"""Detector assembly: config-driven module topology.
+
+Reference contract: Detector3DTemplate builds `vfe → backbone_3d → map_to_bev →
+pfe → backbone_2d → dense_head → point_head → roi_head` from MODEL config
+(detector3d_template.py:24-27) and `build_network` dispatches by MODEL.NAME
+(models/__init__.py:16-20). Here each detector is a flax module whose
+`__call__` runs the train path (loss) and `predict` the eval path (decoded,
+fixed-size masked boxes).
+
+In the dense-pillar formulation the VFE already scatters into the BEV grid, so
+`PointPillarScatter` (map_to_bev) is an identity marker kept for config parity.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.voxel import VoxelGrid
+from .backbone_2d import BaseBEVBackbone
+from .center_head import CenterHead
+from .vfe import DynPillarVFE
+
+
+class CenterPoint(nn.Module):
+    """CenterPoint-pillar (the DFU3D flagship config,
+    tools/cfgs/kitti_models/centerpoint_nuscenes2kitti.yaml)."""
+
+    model_cfg: Any          # CfgDict MODEL tree
+    class_names: Sequence[str]
+    grid: VoxelGrid         # from DATA_CONFIG (POINT_CLOUD_RANGE + VOXEL_SIZE)
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def cfg(self):
+        from ..utils.config import thaw_cfg
+
+        return thaw_cfg(self.model_cfg)
+
+    def setup(self):
+        cfg = self.cfg
+        vfe_cfg = cfg.VFE
+        assert vfe_cfg.NAME in ("DynPillarVFE", "DynamicPillarVFE"), vfe_cfg.NAME
+        self.vfe = DynPillarVFE(
+            num_filters=tuple(vfe_cfg.NUM_FILTERS),
+            grid=self.grid,
+            use_norm=vfe_cfg.get("USE_NORM", True),
+            use_absolute_xyz=vfe_cfg.get("USE_ABSLOTE_XYZ", True),
+            with_distance=vfe_cfg.get("WITH_DISTANCE", False),
+            dtype=self.dtype,
+        )
+        bb = cfg.BACKBONE_2D
+        assert bb.NAME == "BaseBEVBackbone", bb.NAME
+        self.backbone_2d = BaseBEVBackbone(
+            layer_nums=tuple(bb.LAYER_NUMS),
+            layer_strides=tuple(bb.LAYER_STRIDES),
+            num_filters=tuple(bb.NUM_FILTERS),
+            upsample_strides=tuple(bb.UPSAMPLE_STRIDES),
+            num_upsample_filters=tuple(bb.NUM_UPSAMPLE_FILTERS),
+            dtype=self.dtype,
+        )
+        dh = cfg.DENSE_HEAD
+        assert dh.NAME == "CenterHead", dh.NAME
+        ta = dh.TARGET_ASSIGNER_CONFIG
+        self.dense_head = CenterHead(
+            class_names=tuple(self.class_names),
+            class_names_each_head=tuple(tuple(x) for x in dh.CLASS_NAMES_EACH_HEAD),
+            shared_conv_channel=dh.SHARED_CONV_CHANNEL,
+            num_hm_conv=dh.NUM_HM_CONV,
+            head_order=tuple(dh.SEPARATE_HEAD_CFG.HEAD_ORDER),
+            head_dict=dict(dh.SEPARATE_HEAD_CFG.HEAD_DICT),
+            point_cloud_range=tuple(self.grid.point_cloud_range),
+            voxel_size=tuple(self.grid.voxel_size),
+            feature_map_stride=ta.FEATURE_MAP_STRIDE,
+            gaussian_overlap=ta.GAUSSIAN_OVERLAP,
+            min_radius=ta.MIN_RADIUS,
+            use_bias_before_norm=dh.get("USE_BIAS_BEFORE_NORM", False),
+            dtype=self.dtype,
+        )
+
+    def _features(self, batch, train: bool):
+        bev = self.vfe(batch.points, batch.points_valid, train)
+        spatial_features_2d = self.backbone_2d(bev, train)
+        return self.dense_head(spatial_features_2d, train)
+
+    def __call__(self, batch, train: bool = True):
+        """Train path → (loss, tb_dict). Eval path handled by `predict`."""
+        pred_dicts = self._features(batch, train)
+        h, w = pred_dicts[0]["hm"].shape[1:3]
+        targets = self.dense_head.assign_targets(
+            batch.gt_boxes, batch.gt_valid, (h, w)
+        )
+        loss, tb = self.dense_head.get_loss(
+            pred_dicts, targets, self.cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
+        )
+        return loss, tb
+
+    def predict(self, batch):
+        """Eval: decoded, NMS'd boxes. Returns (boxes, scores, labels, valid)."""
+        pred_dicts = self._features(batch, train=False)
+        return self.dense_head.generate_predicted_boxes(
+            pred_dicts, self.cfg.DENSE_HEAD.POST_PROCESSING
+        )
+
+
+__all_detectors__ = {
+    "CenterPoint": CenterPoint,
+}
+
+
+def build_network(model_cfg, class_names, grid: VoxelGrid, dtype=jnp.float32):
+    """Mirror of the reference build_network surface (models/__init__.py:16-20)."""
+    cls = __all_detectors__[model_cfg.NAME]
+    return cls(model_cfg=model_cfg, class_names=class_names, grid=grid, dtype=dtype)

@@ -1,0 +1,154 @@
+"""Voxel feature encoders.
+
+`DynPillarVFE`: TPU-native DynamicPillarVFE (reference: backbones_3d/vfe/
+dynamic_pillar_vfe.py:49-130). The reference hashes coords → `torch.unique` →
+torch_scatter; here segment ids ARE the dense BEV cell indices (batch-offset),
+so the whole pipeline is two fused segment reductions with no uniquification —
+the natural XLA formulation, and the scatter output is already the dense
+pillar grid (making map_to_bev a reshape).
+
+Masked BatchNorm over points: statistics are computed over valid points of the
+whole (possibly device-sharded) batch, which under pjit gives cross-device
+synced BN for free.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.voxel import VoxelGrid
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over a flat point axis with a validity mask."""
+
+    momentum: float = 0.99  # torch momentum 0.01 ⇒ ema keep 0.99
+    epsilon: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        # x: (N, C), mask: (N,)
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if train:
+            m = mask.astype(jnp.float32)[:, None]
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x.astype(jnp.float32) * m, axis=0) / count
+            var = jnp.sum(jnp.square(x.astype(jnp.float32) - mean) * m, axis=0) / count
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class PFNLayer(nn.Module):
+    """Linear + BN + ReLU + segment-max (reference PFNLayerV2, :14-46)."""
+
+    out_channels: int
+    use_norm: bool = True
+    last_layer: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, point_mask, seg_ids, num_segments: int, train: bool):
+        out_ch = self.out_channels if self.last_layer else self.out_channels // 2
+        x = nn.Dense(out_ch, use_bias=not self.use_norm, dtype=self.dtype,
+                     param_dtype=jnp.float32)(feats)
+        if self.use_norm:
+            x = MaskedBatchNorm(dtype=self.dtype)(x, point_mask, train)
+        x = nn.relu(x)
+        x = jnp.where(point_mask[:, None], x, 0.0)
+        x_f32 = x.astype(jnp.float32)
+        x_max = jax.ops.segment_max(x_f32, seg_ids, num_segments=num_segments)
+        x_max = jnp.where(jnp.isfinite(x_max), x_max, 0.0).astype(self.dtype)
+        if self.last_layer:
+            return x, x_max
+        gathered = jnp.take(x_max, jnp.minimum(seg_ids, num_segments - 1), axis=0)
+        gathered = jnp.where(point_mask[:, None], gathered, 0.0)
+        return jnp.concatenate([x, gathered], axis=-1), None
+
+
+class DynPillarVFE(nn.Module):
+    """config keys: NUM_FILTERS, USE_NORM, USE_ABSLOTE_XYZ, WITH_DISTANCE."""
+
+    num_filters: Sequence[int]
+    grid: VoxelGrid
+    use_norm: bool = True
+    use_absolute_xyz: bool = True
+    with_distance: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, points_valid, train: bool):
+        """
+        Args:
+            points: (B, N, C) — xyz + extra features.
+            points_valid: (B, N) bool.
+        Returns:
+            bev: (B, ny, nx, num_filters[-1]) dense pillar feature grid.
+        """
+        b, n, c = points.shape
+        g = self.grid
+        nx, ny, _ = g.grid_size
+        flat = points.reshape(b * n, c)
+        flat_valid = points_valid.reshape(b * n)
+
+        pcr = jnp.asarray(g.point_cloud_range, jnp.float32)
+        vs = jnp.asarray(g.voxel_size, jnp.float32)
+        coords = jnp.floor((flat[:, 0:2] - pcr[0:2]) / vs[0:2]).astype(jnp.int32)
+        in_range = jnp.all((coords >= 0) & (coords < jnp.array([nx, ny])), axis=-1)
+        ok = flat_valid & in_range
+        coords = jnp.clip(coords, 0, jnp.array([nx - 1, ny - 1]))
+
+        cells = ny * nx
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+        seg = jnp.where(ok, batch_idx * cells + coords[:, 1] * nx + coords[:, 0], b * cells)
+        num_segments = b * cells
+
+        xyz = flat[:, 0:3].astype(jnp.float32)
+        ones = jnp.where(ok, 1.0, 0.0)
+        sums = jax.ops.segment_sum(
+            jnp.concatenate([xyz * ones[:, None], ones[:, None]], axis=-1),
+            seg, num_segments=num_segments,
+        )
+        counts = jnp.maximum(sums[:, 3:4], 1.0)
+        means = sums[:, 0:3] / counts
+        f_cluster = xyz - jnp.take(means, jnp.minimum(seg, num_segments - 1), axis=0)
+
+        # offset from pillar center (reference f_center, :107-111)
+        cx = coords[:, 0].astype(jnp.float32) * vs[0] + (vs[0] / 2 + pcr[0])
+        cy = coords[:, 1].astype(jnp.float32) * vs[1] + (vs[1] / 2 + pcr[1])
+        cz = vs[2] / 2 + pcr[2]
+        f_center = jnp.stack([xyz[:, 0] - cx, xyz[:, 1] - cy, xyz[:, 2] - cz], axis=-1)
+
+        if self.use_absolute_xyz:
+            feats = [flat.astype(jnp.float32), f_cluster, f_center]
+        else:
+            feats = [flat[:, 3:].astype(jnp.float32), f_cluster, f_center]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        feats = jnp.concatenate(feats, axis=-1).astype(self.dtype)
+        feats = jnp.where(ok[:, None], feats, 0.0)
+
+        x_max = None
+        for i, nf in enumerate(self.num_filters):
+            last = i >= len(self.num_filters) - 1
+            feats, x_max = PFNLayer(
+                out_channels=nf, use_norm=self.use_norm, last_layer=last,
+                dtype=self.dtype, name=f"pfn_{i}",
+            )(feats, ok, seg, num_segments, train)
+
+        # x_max is already the dense BEV grid: (B*cells, C) → (B, ny, nx, C)
+        return x_max.reshape(b, ny, nx, self.num_filters[-1])

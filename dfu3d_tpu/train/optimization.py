@@ -1,0 +1,93 @@
+"""Optimizer + LR schedule (reference: tools/train_utils/optimization/).
+
+`adam_onecycle` — the DFU3D training recipe (centerpoint_nuscenes2kitti.yaml:
+OPTIMIZER: adam_onecycle, LR 0.001, WD 0.01, MOMS [0.95, 0.85], PCT_START 0.4,
+DIV_FACTOR 10, GRAD_NORM_CLIP 10) — is fastai's OneCycle over a true-weight-
+decay Adam (learning_schedules_fastai.py:53-78): cosine-anneal lr from
+lr_max/div → lr_max over the first pct_start of steps, then → lr_max/div/1e4;
+beta1 anneals moms[0] → moms[1] and back. Expressed here as optax adamw with
+injected per-step hyperparams.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import optax
+
+
+def _annealing_cos(start, end, pct):
+    cos_out = jnp.cos(math.pi * pct) + 1.0
+    return end + (start - end) / 2.0 * cos_out
+
+
+def onecycle_lr_fn(lr_max, div_factor, pct_start, total_steps):
+    low_lr = lr_max / div_factor
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        a1 = pct_start * total_steps
+        pct1 = jnp.clip(step / jnp.maximum(a1, 1.0), 0.0, 1.0)
+        pct2 = jnp.clip((step - a1) / jnp.maximum(total_steps - a1, 1.0), 0.0, 1.0)
+        lr1 = _annealing_cos(low_lr, lr_max, pct1)
+        lr2 = _annealing_cos(lr_max, low_lr / 1e4, pct2)
+        return jnp.where(step < a1, lr1, lr2)
+
+    return fn
+
+
+def onecycle_mom_fn(moms, pct_start, total_steps):
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        a1 = pct_start * total_steps
+        pct1 = jnp.clip(step / jnp.maximum(a1, 1.0), 0.0, 1.0)
+        pct2 = jnp.clip((step - a1) / jnp.maximum(total_steps - a1, 1.0), 0.0, 1.0)
+        m1 = _annealing_cos(moms[0], moms[1], pct1)
+        m2 = _annealing_cos(moms[1], moms[0], pct2)
+        return jnp.where(step < a1, m1, m2)
+
+    return fn
+
+
+def build_optimizer(optim_cfg, total_steps: int):
+    """Returns (optax transformation, lr_fn for logging).
+
+    Mirrors build_optimizer/build_scheduler (optimization/__init__.py:12-68)
+    for the adam / sgd / adam_onecycle variants.
+    """
+    name = optim_cfg.OPTIMIZER
+    clip = float(optim_cfg.get("GRAD_NORM_CLIP", 0) or 0)
+    wd = float(optim_cfg.get("WEIGHT_DECAY", 0.0))
+    lr = float(optim_cfg.LR)
+
+    if name == "adam":
+        lr_fn = lambda step: jnp.float32(lr)
+        tx = optax.adam(lr)
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+    elif name == "sgd":
+        lr_fn = lambda step: jnp.float32(lr)
+        tx = optax.sgd(lr, momentum=float(optim_cfg.get("MOMENTUM", 0.9)))
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+    elif name == "adam_onecycle":
+        moms = list(optim_cfg.get("MOMS", [0.95, 0.85]))
+        pct_start = float(optim_cfg.get("PCT_START", 0.4))
+        div_factor = float(optim_cfg.get("DIV_FACTOR", 10))
+        lr_fn = onecycle_lr_fn(lr, div_factor, pct_start, total_steps)
+        mom_fn = onecycle_mom_fn(moms, pct_start, total_steps)
+        betas = tuple(optim_cfg.get("BETAS", (0.9, 0.99)))
+
+        @optax.inject_hyperparams
+        def make(learning_rate, b1):
+            return optax.adamw(
+                learning_rate, b1=b1, b2=betas[1], weight_decay=wd
+            )
+
+        tx = make(learning_rate=lr_fn, b1=mom_fn)
+    else:
+        raise NotImplementedError(name)
+
+    if clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx, lr_fn

@@ -1,0 +1,79 @@
+"""Train state + jitted train/eval steps.
+
+The train step is a single pjit'd program: forward (bf16 compute), loss, grad,
+global-norm clip + AdamW-OneCycle update, BN running-stat update. With batch
+sharded over the mesh 'data' axis and params replicated, XLA inserts the
+gradient all-reduce automatically — the TPU-native replacement for the
+reference's DDP wrapper + GradScaler loop (train_utils.py:11-147). bf16 needs
+no loss scaling, so there is no GradScaler equivalent.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, example_batch, tx, rng=None):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng}, example_batch, train=False,
+        method=lambda m, b, train: m._features(b, train),
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model, tx):
+    """Returns train_step(state, batch) → (state, metrics). jit/pjit-ready."""
+
+    def loss_fn(params, batch_stats, batch):
+        (loss, tb), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, train=True, mutable=["batch_stats"],
+        )
+        return loss, (tb, updates["batch_stats"])
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (tb, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **tb}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(state.step + 1, new_params, new_stats, new_opt_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Returns eval_step(state, batch) → (boxes, scores, labels, valid)."""
+
+    def eval_step(state: TrainState, batch):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, method=lambda m, b: m.predict(b),
+        )
+
+    return eval_step

@@ -53,6 +53,20 @@ class CfgDict(dict):
         return self[key] if key in self else default
 
 
+def thaw_cfg(obj):
+    """Convert any nested Mapping (e.g. flax FrozenDict) back into CfgDict."""
+    from collections.abc import Mapping
+
+    if isinstance(obj, Mapping):
+        out = CfgDict()
+        for k, v in obj.items():
+            out[k] = thaw_cfg(v)
+        return out
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(thaw_cfg(x) for x in obj)
+    return obj
+
+
 def _load_yaml(path):
     with open(path, "r") as f:
         return yaml.safe_load(f)

@@ -1,0 +1,249 @@
+"""CenterPoint model smoke + behavior tests (tiny grid, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfu3d_tpu.core.voxel import VoxelGrid
+from dfu3d_tpu.data.dataset import PointBatch
+from dfu3d_tpu.models import build_network
+from dfu3d_tpu.utils.config import CfgDict
+
+
+def tiny_model_cfg():
+    return CfgDict(
+        {
+            "NAME": "CenterPoint",
+            "VFE": {
+                "NAME": "DynPillarVFE",
+                "WITH_DISTANCE": False,
+                "USE_ABSLOTE_XYZ": True,
+                "USE_NORM": True,
+                "NUM_FILTERS": [32, 32],
+            },
+            "MAP_TO_BEV": {"NAME": "PointPillarScatter", "NUM_BEV_FEATURES": 32},
+            "BACKBONE_2D": {
+                "NAME": "BaseBEVBackbone",
+                "LAYER_NUMS": [2, 2],
+                "LAYER_STRIDES": [2, 2],
+                "NUM_FILTERS": [32, 64],
+                "UPSAMPLE_STRIDES": [1, 2],
+                "NUM_UPSAMPLE_FILTERS": [32, 32],
+            },
+            "DENSE_HEAD": {
+                "NAME": "CenterHead",
+                "CLASS_AGNOSTIC": False,
+                "CLASS_NAMES_EACH_HEAD": [["Car"], ["Pedestrian", "Cyclist"]],
+                "SHARED_CONV_CHANNEL": 32,
+                "USE_BIAS_BEFORE_NORM": True,
+                "NUM_HM_CONV": 2,
+                "SEPARATE_HEAD_CFG": {
+                    "HEAD_ORDER": ["center", "center_z", "dim", "rot"],
+                    "HEAD_DICT": {
+                        "center": {"out_channels": 2, "num_conv": 2},
+                        "center_z": {"out_channels": 1, "num_conv": 2},
+                        "dim": {"out_channels": 3, "num_conv": 2},
+                        "rot": {"out_channels": 2, "num_conv": 2},
+                    },
+                },
+                "TARGET_ASSIGNER_CONFIG": {
+                    "FEATURE_MAP_STRIDE": 2,
+                    "NUM_MAX_OBJS": 16,
+                    "GAUSSIAN_OVERLAP": 0.1,
+                    "MIN_RADIUS": 2,
+                },
+                "LOSS_CONFIG": {
+                    "LOSS_WEIGHTS": {
+                        "cls_weight": 1.0,
+                        "loc_weight": 0.25,
+                        "code_weights": [1.0] * 8,
+                    }
+                },
+                "POST_PROCESSING": {
+                    "SCORE_THRESH": 0.1,
+                    "POST_CENTER_LIMIT_RANGE": [-10, -10, -10, 10, 10, 10],
+                    "MAX_OBJ_PER_SAMPLE": 32,
+                    "NMS_CONFIG": {
+                        "MULTI_CLASSES_NMS": True,
+                        "NMS_TYPE": "nms_gpu",
+                        "NMS_THRESH": 0.6,
+                        "NMS_PRE_MAXSIZE": 32,
+                        "NMS_POST_MAXSIZE": 8,
+                    },
+                },
+            },
+        }
+    )
+
+
+CLASS_NAMES = ["Car", "Pedestrian", "Cyclist"]
+
+
+def tiny_grid():
+    return VoxelGrid.create([0, -6.4, -3, 6.4, 6.4, 1], [0.2, 0.2, 4])
+
+
+def make_batch(rng, b=2, n=512, m=8):
+    points = np.zeros((b, n, 4), np.float32)
+    points[..., 0] = rng.uniform(0, 6.4, (b, n))
+    points[..., 1] = rng.uniform(-6.4, 6.4, (b, n))
+    points[..., 2] = rng.uniform(-2.5, 0.5, (b, n))
+    points[..., 3] = rng.uniform(0, 1, (b, n))
+    valid = np.ones((b, n), bool)
+    valid[:, -32:] = False
+    gt = np.zeros((b, m, 8), np.float32)
+    gt[..., 0] = rng.uniform(1, 5, (b, m))
+    gt[..., 1] = rng.uniform(-4, 4, (b, m))
+    gt[..., 2] = rng.uniform(-1.5, -0.5, (b, m))
+    gt[..., 3:6] = rng.uniform(0.5, 3, (b, m, 3))
+    gt[..., 6] = rng.uniform(-np.pi, np.pi, (b, m))
+    gt[..., 7] = rng.randint(1, 4, (b, m))
+    gt_valid = np.ones((b, m), bool)
+    gt_valid[:, -2:] = False
+    return PointBatch(points, valid, gt, gt_valid)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_network(tiny_model_cfg(), CLASS_NAMES, tiny_grid())
+    rng = np.random.RandomState(3)
+    batch = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, train=False,
+        method=lambda m, b, train: m._features(b, train),
+    )
+    return model, variables, batch
+
+
+class TestForward:
+    def test_loss_finite_and_nonzero(self, model_and_vars):
+        model, variables, batch = model_and_vars
+        (loss, tb), _ = model.apply(
+            variables, batch, train=True, mutable=["batch_stats"]
+        )
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        assert np.isfinite(float(tb["hm_loss_head_0"]))
+        assert np.isfinite(float(tb["loc_loss_head_1"]))
+
+    def test_gradients_flow(self, model_and_vars):
+        model, variables, batch = model_and_vars
+
+        def loss_fn(params):
+            (loss, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return loss
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(g)) for g in leaves)
+        total = sum(float(np.abs(g).sum()) for g in leaves)
+        assert total > 0
+
+    def test_predict_shapes_and_masks(self, model_and_vars):
+        model, variables, batch = model_and_vars
+        boxes, scores, labels, valid = model.apply(
+            variables, batch, method=lambda m, b: m.predict(b)
+        )
+        b = batch.points.shape[0]
+        s = 2 * 8  # num_heads * POST_MAXSIZE
+        assert boxes.shape == (b, s, 7)
+        assert scores.shape == labels.shape == valid.shape == (b, s)
+        v = np.asarray(valid)
+        assert np.all(np.asarray(scores)[~v] == 0)
+        lbl = np.asarray(labels)
+        assert np.all((lbl[v] >= 1) & (lbl[v] <= 3))
+
+    def test_empty_point_cloud_no_nan(self, model_and_vars):
+        model, variables, batch = model_and_vars
+        empty = batch._replace(
+            points_valid=np.zeros_like(batch.points_valid),
+            gt_valid=np.zeros_like(batch.gt_valid),
+        )
+        (loss, _), _ = model.apply(variables, empty, train=True, mutable=["batch_stats"])
+        assert np.isfinite(float(loss))
+
+
+class TestTargetAssignment:
+    def test_heatmap_peak_at_gt_center(self):
+        model = build_network(tiny_model_cfg(), CLASS_NAMES, tiny_grid())
+        grid = tiny_grid()
+        # one Car at a known location
+        gt = np.zeros((1, 4, 8), np.float32)
+        gt[0, 0] = [3.2, 0.0, -1.0, 2.0, 1.0, 1.5, 0.3, 1]  # Car
+        gt_valid = np.zeros((1, 4), bool)
+        gt_valid[0, 0] = True
+        head = model.dense_head if hasattr(model, "dense_head") else None
+        # use the unbound module: call assign_targets via init-less apply
+        from dfu3d_tpu.models.center_head import CenterHead
+
+        dh_cfg = tiny_model_cfg().DENSE_HEAD
+        ch = CenterHead(
+            class_names=tuple(CLASS_NAMES),
+            class_names_each_head=(("Car",), ("Pedestrian", "Cyclist")),
+            shared_conv_channel=32,
+            num_hm_conv=2,
+            head_order=("center", "center_z", "dim", "rot"),
+            head_dict=dict(dh_cfg.SEPARATE_HEAD_CFG.HEAD_DICT),
+            point_cloud_range=grid.point_cloud_range,
+            voxel_size=grid.voxel_size,
+            feature_map_stride=2,
+        )
+        targets = ch.init_with_output(
+            jax.random.PRNGKey(0),
+            jnp.asarray(gt), jnp.asarray(gt_valid), (32, 16),
+            method=lambda m, a, b, c: m.assign_targets(a, b, c),
+        )[0]
+        hm_car = np.asarray(targets[0].heatmap)[0, :, :, 0]  # (H, W)
+        # expected center cell: x=(3.2-0)/0.2/2=8, y=(0+6.4)/0.2/2=16
+        assert hm_car[16, 8] == 1.0
+        assert hm_car.max() == 1.0
+        # Pedestrian head has no boxes
+        assert np.asarray(targets[1].heatmap).max() == 0.0
+        assert np.asarray(targets[0].mask)[0].tolist() == [True, False, False, False]
+        # regression target: offsets in [0,1), z, log dims, cos/sin
+        tb = np.asarray(targets[0].target_boxes)[0, 0]
+        assert 0 <= tb[0] < 1 and 0 <= tb[1] < 1
+        assert abs(tb[2] - (-1.0)) < 1e-5
+        assert abs(tb[3] - np.log(2.0)) < 1e-5
+        assert abs(tb[6] - np.cos(0.3)) < 1e-5 and abs(tb[7] - np.sin(0.3)) < 1e-5
+
+    def test_gaussian_matches_reference_shape(self):
+        """Gaussian values at offsets from center must follow exp(-d²/2σ²),
+        σ=(2r+1)/6, cut at radius."""
+        from dfu3d_tpu.models.center_head import gaussian_radius
+
+        grid = tiny_grid()
+        gt = np.zeros((1, 1, 8), np.float32)
+        gt[0, 0] = [3.2, 0.0, -1.0, 4.0, 4.0, 1.5, 0.0, 1]
+        from dfu3d_tpu.models.center_head import CenterHead
+
+        ch = CenterHead(
+            class_names=("Car",),
+            class_names_each_head=(("Car",),),
+            shared_conv_channel=32,
+            num_hm_conv=2,
+            head_order=("center", "center_z", "dim", "rot"),
+            head_dict={"center": {"out_channels": 2, "num_conv": 2}},
+            point_cloud_range=grid.point_cloud_range,
+            voxel_size=grid.voxel_size,
+            feature_map_stride=2,
+        )
+        targets = ch.init_with_output(
+            jax.random.PRNGKey(0),
+            jnp.asarray(gt), jnp.asarray(np.ones((1, 1), bool)), (32, 16),
+            method=lambda m, a, b, c: m.assign_targets(a, b, c),
+        )[0]
+        hm = np.asarray(targets[0].heatmap)[0, :, :, 0]
+        dxf = 4.0 / 0.2 / 2  # 10 cells
+        r = int(np.asarray(gaussian_radius(jnp.float32(dxf), jnp.float32(dxf), 0.1)))
+        r = max(r, 2)
+        sigma = (2 * r + 1) / 6
+        # value one cell to the right of the peak
+        got = hm[16, 9]
+        want = np.exp(-1.0 / (2 * sigma * sigma))
+        assert abs(got - want) < 1e-4
+        # beyond the radius window → 0
+        if 8 + r + 1 < hm.shape[1]:
+            assert hm[16, 8 + r + 1] == 0.0
