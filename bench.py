@@ -1,0 +1,64 @@
+"""Benchmark: CenterPoint train samples/sec/chip on the flagship config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
+measured against this repo's own recorded first benchmark (bench_baseline.json,
+written on first run) — later rounds show speedup over round 1.
+"""
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_FILE = Path(__file__).parent / "bench_baseline.json"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship, _synthetic_batch
+    from dfu3d_tpu.train import build_optimizer, create_train_state
+    from dfu3d_tpu.train.train_state import make_train_step
+    from dfu3d_tpu.utils.config import CfgDict
+
+    cfg, grid, model = _flagship(dtype=jnp.bfloat16)
+    B, N, M = 4, 60000, 256
+    batch = _synthetic_batch(B, N, M, 50.0)
+    tx, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=1000)
+    state = create_train_state(model, batch, tx)
+    step = jax.jit(make_train_step(model, tx))
+
+    # warmup/compile
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.time() - t0) / iters
+    samples_per_sec = B / dt
+
+    if BASELINE_FILE.exists():
+        baseline = json.loads(BASELINE_FILE.read_text())["samples_per_sec"]
+    else:
+        baseline = samples_per_sec
+        BASELINE_FILE.write_text(json.dumps({"samples_per_sec": samples_per_sec}))
+
+    print(
+        json.dumps(
+            {
+                "metric": "centerpoint_train_samples_per_sec_per_chip",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

