@@ -351,10 +351,20 @@ def _calculate_iou(dt_annos, gt_annos, metric):
 
 
 def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
-               min_overlaps, compute_aos=False):
-    """(eval.py:458-565) → dict of recall/precision/aos curves."""
+               min_overlaps, compute_aos=False, use_native=True):
+    """(eval.py:458-565) → dict of recall/precision/aos curves.
+
+    Matching runs in the native C++ kernel (csrc/kitti_match.cpp) when
+    available; the pure-Python matcher below is the oracle fallback
+    (cross-checked in tests/test_native_eval.py).
+    """
     assert len(gt_annos) == len(dt_annos)
     overlaps = _calculate_iou(dt_annos, gt_annos, metric)
+    lib = None
+    if use_native:
+        from .native import get_lib
+
+        lib = get_lib()
     n_sample_pts = 41
     num_minoverlap = len(min_overlaps)
     num_class = len(current_classes)
@@ -369,32 +379,48 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
              total_dc_num, total_num_valid_gt) = _prepare_data(
                 gt_annos, dt_annos, current_class, difficulty
             )
+            flat = None
+            if lib is not None:
+                from .native import FlatFrames
+
+                flat = FlatFrames(
+                    overlaps, gt_datas_list, dt_datas_list, ignored_gts,
+                    ignored_dets, dontcares,
+                )
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
-                thresholdss = []
-                for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
-                        overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                        ignored_gts[i], ignored_dets[i], dontcares[i],
-                        metric, min_overlap=min_overlap, thresh=0.0,
-                        compute_fp=False,
-                    )
-                    thresholdss += th.tolist()
-                thresholds = np.array(get_thresholds(np.array(thresholdss),
-                                                     total_num_valid_gt))
-                pr = np.zeros([len(thresholds), 4])
-                for i in range(len(gt_annos)):
-                    for t, thresh in enumerate(thresholds):
-                        tp, fp, fn, similarity, _ = compute_statistics(
+                if flat is not None:
+                    thresholdss = flat.collect_thresholds(lib, metric, min_overlap)
+                else:
+                    thresholdss = []
+                    for i in range(len(gt_annos)):
+                        _, _, _, _, th = compute_statistics(
                             overlaps[i], gt_datas_list[i], dt_datas_list[i],
                             ignored_gts[i], ignored_dets[i], dontcares[i],
-                            metric, min_overlap=min_overlap, thresh=thresh,
-                            compute_fp=True, compute_aos=compute_aos,
+                            metric, min_overlap=min_overlap, thresh=0.0,
+                            compute_fp=False,
                         )
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if similarity != -1:
-                            pr[t, 3] += similarity
+                        thresholdss += th.tolist()
+                thresholds = np.array(get_thresholds(np.array(thresholdss),
+                                                     total_num_valid_gt))
+                if flat is not None:
+                    pr = flat.fused_statistics(
+                        lib, metric, min_overlap, thresholds, compute_aos
+                    )
+                else:
+                    pr = np.zeros([len(thresholds), 4])
+                    for i in range(len(gt_annos)):
+                        for t, thresh in enumerate(thresholds):
+                            tp, fp, fn, similarity, _ = compute_statistics(
+                                overlaps[i], gt_datas_list[i], dt_datas_list[i],
+                                ignored_gts[i], ignored_dets[i], dontcares[i],
+                                metric, min_overlap=min_overlap, thresh=thresh,
+                                compute_fp=True, compute_aos=compute_aos,
+                            )
+                            pr[t, 0] += tp
+                            pr[t, 1] += fp
+                            pr[t, 2] += fn
+                            if similarity != -1:
+                                pr[t, 3] += similarity
                 for i in range(len(thresholds)):
                     recall[m, ld, k, i] = pr[i, 0] / max(pr[i, 0] + pr[i, 2], 1e-12)
                     precision[m, ld, k, i] = pr[i, 0] / max(pr[i, 0] + pr[i, 1], 1e-12)
