@@ -105,8 +105,11 @@ class CenterPoint(nn.Module):
         )
 
 
+from .pointpillar import PointPillar  # noqa: E402
+
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
+    "PointPillar": PointPillar,
 }
 
 

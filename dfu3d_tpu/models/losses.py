@@ -63,3 +63,57 @@ def reg_loss_centernet(pred_feat, target, inds, mask):
     err = jnp.abs(pred * m - target * m)
     num = jnp.sum(mask.astype(jnp.float32))
     return jnp.sum(err, axis=(0, 1)) / (num + 1e-4)
+
+
+def sigmoid_focal_loss(pred_logits, target_onehot, weights, gamma: float = 2.0,
+                       alpha: float = 0.25):
+    """SigmoidFocalClassificationLoss (loss_utils.py:10-74) — elementwise,
+    weighted per anchor.
+
+    Args:
+        pred_logits: (B, A, C)
+        target_onehot: (B, A, C)
+        weights: (B, A)
+    Returns:
+        (B, A, C) loss.
+    """
+    pred_logits = pred_logits.astype(jnp.float32)
+    target = target_onehot.astype(jnp.float32)
+    pred_sigmoid = jax.nn.sigmoid(pred_logits)
+    alpha_weight = target * alpha + (1 - target) * (1 - alpha)
+    pt = target * (1.0 - pred_sigmoid) + (1.0 - target) * pred_sigmoid
+    focal_weight = alpha_weight * jnp.power(pt, gamma)
+    # numerically-stable BCE with logits
+    bce = jnp.clip(pred_logits, 0) - pred_logits * target + jnp.log1p(
+        jnp.exp(-jnp.abs(pred_logits))
+    )
+    return focal_weight * bce * weights[..., None]
+
+
+def weighted_smooth_l1(pred, target, weights, beta: float = 1.0 / 9.0,
+                       code_weights=None):
+    """WeightedSmoothL1Loss (loss_utils.py:76-128).
+
+    Args:
+        pred, target: (B, A, D)
+        weights: (B, A)
+    Returns:
+        (B, A, D)
+    """
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    if code_weights is not None:
+        diff = diff * jnp.asarray(code_weights, jnp.float32)
+    n = jnp.abs(diff)
+    loss = jnp.where(n < beta, 0.5 * n ** 2 / beta, n - 0.5 * beta)
+    return loss * weights[..., None]
+
+
+def weighted_cross_entropy(pred_logits, target_onehot, weights):
+    """WeightedCrossEntropyLoss (loss_utils.py:183-208): per-anchor CE.
+
+    Args:
+        pred_logits: (B, A, C), target_onehot: (B, A, C), weights: (B, A)
+    """
+    logprob = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.sum(target_onehot * logprob, axis=-1)
+    return ce * weights

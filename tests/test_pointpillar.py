@@ -1,0 +1,222 @@
+"""PointPillar / anchor-head tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfu3d_tpu.core.voxel import VoxelGrid
+from dfu3d_tpu.models import build_network
+from dfu3d_tpu.models.anchor_head import (
+    decode_boxes,
+    encode_boxes,
+    generate_anchors,
+)
+from dfu3d_tpu.utils.config import CfgDict
+
+from test_model import make_batch, tiny_grid
+
+
+CLASSES = ["Car", "Pedestrian", "Cyclist"]
+
+
+def pp_model_cfg():
+    return CfgDict(
+        {
+            "NAME": "PointPillar",
+            "VFE": {
+                "NAME": "DynPillarVFE",
+                "WITH_DISTANCE": False,
+                "USE_ABSLOTE_XYZ": True,
+                "USE_NORM": True,
+                "NUM_FILTERS": [32],
+            },
+            "MAP_TO_BEV": {"NAME": "PointPillarScatter", "NUM_BEV_FEATURES": 32},
+            "BACKBONE_2D": {
+                "NAME": "BaseBEVBackbone",
+                "LAYER_NUMS": [2, 2],
+                "LAYER_STRIDES": [2, 2],
+                "NUM_FILTERS": [32, 64],
+                "UPSAMPLE_STRIDES": [1, 2],
+                "NUM_UPSAMPLE_FILTERS": [32, 32],
+            },
+            "DENSE_HEAD": {
+                "NAME": "AnchorHeadSingle",
+                "CLASS_AGNOSTIC": False,
+                "USE_DIRECTION_CLASSIFIER": True,
+                "DIR_OFFSET": 0.78539,
+                "DIR_LIMIT_OFFSET": 0.0,
+                "NUM_DIR_BINS": 2,
+                "ANCHOR_GENERATOR_CONFIG": [
+                    {
+                        "class_name": "Car",
+                        "anchor_sizes": [[3.9, 1.6, 1.56]],
+                        "anchor_rotations": [0, 1.57],
+                        "anchor_bottom_heights": [-1.78],
+                        "align_center": False,
+                        "feature_map_stride": 2,
+                        "matched_threshold": 0.6,
+                        "unmatched_threshold": 0.45,
+                    },
+                    {
+                        "class_name": "Pedestrian",
+                        "anchor_sizes": [[0.8, 0.6, 1.73]],
+                        "anchor_rotations": [0, 1.57],
+                        "anchor_bottom_heights": [-0.6],
+                        "align_center": False,
+                        "feature_map_stride": 2,
+                        "matched_threshold": 0.5,
+                        "unmatched_threshold": 0.35,
+                    },
+                    {
+                        "class_name": "Cyclist",
+                        "anchor_sizes": [[1.76, 0.6, 1.73]],
+                        "anchor_rotations": [0, 1.57],
+                        "anchor_bottom_heights": [-0.6],
+                        "align_center": False,
+                        "feature_map_stride": 2,
+                        "matched_threshold": 0.5,
+                        "unmatched_threshold": 0.35,
+                    },
+                ],
+                "TARGET_ASSIGNER_CONFIG": {
+                    "NAME": "AxisAlignedTargetAssigner",
+                    "POS_FRACTION": -1.0,
+                    "SAMPLE_SIZE": 512,
+                    "NORM_BY_NUM_EXAMPLES": False,
+                    "MATCH_HEIGHT": False,
+                },
+                "LOSS_CONFIG": {
+                    "LOSS_WEIGHTS": {
+                        "cls_weight": 1.0,
+                        "loc_weight": 2.0,
+                        "dir_weight": 0.2,
+                        "code_weights": [1.0] * 7,
+                    }
+                },
+            },
+            "POST_PROCESSING": {
+                "RECALL_THRESH_LIST": [0.3, 0.5, 0.7],
+                "SCORE_THRESH": 0.1,
+                "NMS_CONFIG": {
+                    "MULTI_CLASSES_NMS": False,
+                    "NMS_TYPE": "nms_gpu",
+                    "NMS_THRESH": 0.01,
+                    "NMS_PRE_MAXSIZE": 256,
+                    "NMS_POST_MAXSIZE": 32,
+                },
+            },
+        }
+    )
+
+
+class TestCoder:
+    def test_encode_decode_roundtrip(self, rng):
+        anchors = np.zeros((50, 7), np.float32)
+        anchors[:, 0:3] = rng.uniform(-10, 10, (50, 3))
+        anchors[:, 3:6] = rng.uniform(1, 4, (50, 3))
+        anchors[:, 6] = rng.choice([0, 1.57], 50)
+        boxes = anchors + rng.normal(0, 0.3, (50, 7)).astype(np.float32)
+        boxes[:, 3:6] = np.abs(boxes[:, 3:6]) + 0.5
+        enc = encode_boxes(jnp.asarray(boxes), jnp.asarray(anchors))
+        dec = np.asarray(decode_boxes(enc, jnp.asarray(anchors)))
+        assert np.allclose(dec, boxes, atol=1e-4)
+
+
+class TestAnchorGenerator:
+    def test_shapes_and_values(self):
+        cfgs = [
+            {
+                "class_name": "Car",
+                "anchor_sizes": [[3.9, 1.6, 1.56]],
+                "anchor_rotations": [0, 1.57],
+                "anchor_bottom_heights": [-1.78],
+                "align_center": False,
+                "feature_map_stride": 2,
+            }
+        ]
+        anchors, counts = generate_anchors(cfgs, (64, 64, 1), [0, -6.4, -3, 6.4, 6.4, 1])
+        a = anchors[0]
+        assert a.shape == (1, 32, 32, 1, 2, 7)
+        assert counts == [2]
+        # z center = bottom + h/2
+        assert np.allclose(a[..., 2], -1.78 + 1.56 / 2)
+        assert np.allclose(a[0, 0, 0, 0, :, 6], [0, 1.57])
+        # first/last x centers span the range (align_center=False)
+        assert abs(a[0, 0, 0, 0, 0, 0] - 0.0) < 1e-5
+        assert abs(a[0, 0, -1, 0, 0, 0] - 6.4) < 1e-5
+
+
+class TestPointPillar:
+    @pytest.fixture(scope="class")
+    def model_and_state(self):
+        model = build_network(pp_model_cfg(), CLASSES, tiny_grid())
+        batch = make_batch(np.random.RandomState(4))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False,
+            method=lambda m, b, train: m._features(b, train),
+        )
+        return model, variables, batch
+
+    def test_loss_and_gradients(self, model_and_state):
+        model, variables, batch = model_and_state
+        (loss, tb), _ = model.apply(variables, batch, train=True,
+                                    mutable=["batch_stats"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        assert "rpn_loss_dir" in tb
+
+        def loss_fn(params):
+            (l, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return l
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        assert all(
+            np.all(np.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)
+        )
+
+    def test_predict_masked_output(self, model_and_state):
+        model, variables, batch = model_and_state
+        boxes, scores, labels, keep = model.apply(
+            variables, batch, method=lambda m, b: m.predict(b)
+        )
+        assert boxes.shape[0] == batch.points.shape[0]
+        assert boxes.shape[2] == 7
+        k = np.asarray(keep)
+        assert np.all(np.asarray(scores)[~k] == 0)
+
+    def test_perfect_anchor_gets_positive_label(self):
+        """A gt box exactly on an anchor must be a positive with ~zero target."""
+        model = build_network(pp_model_cfg(), CLASSES, tiny_grid())
+        batch = make_batch(np.random.RandomState(0), b=1, m=4)
+        anchors = model._per_class_anchors if hasattr(model, "_per_class_anchors") else None
+        # place a Car gt exactly on a Car anchor location
+        from dfu3d_tpu.models.anchor_head import generate_anchors as gen
+
+        cfgs = pp_model_cfg().DENSE_HEAD.ANCHOR_GENERATOR_CONFIG
+        a, _ = gen(
+            [dict(c) for c in cfgs], tiny_grid().grid_size,
+            tiny_grid().point_cloud_range,
+        )
+        car_anchor = a[0][0, 16, 8, 0, 0]  # (7,)
+        gt = np.zeros((1, 4, 8), np.float32)
+        gt[0, 0, :7] = car_anchor
+        gt[0, 0, 7] = 1  # Car
+        gt_valid = np.zeros((1, 4), bool)
+        gt_valid[0, 0] = True
+        targets = jax.jit(
+            lambda g, v: model.bind(
+                model.init(
+                    {"params": jax.random.PRNGKey(0)}, batch, train=False,
+                    method=lambda m, b, train: m._features(b, train),
+                )
+            ).assign_targets(g, v)
+        )(jnp.asarray(gt), jnp.asarray(gt_valid))
+        labels = np.asarray(targets.box_cls_labels)[0]
+        assert (labels == 1).sum() >= 1  # at least the exact-match anchor
+        assert (labels == 0).sum() > 0   # plenty of background
+        pos = labels == 1
+        tgt = np.asarray(targets.box_reg_targets)[0][pos]
+        # the exactly-matching anchor has a ~zero residual target
+        assert np.min(np.abs(tgt).sum(axis=1)) < 1e-3
