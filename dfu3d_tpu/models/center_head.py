@@ -294,7 +294,8 @@ class CenterHead(nn.Module):
             bsz, H, W, C = hm.shape
             # (B, H, W, C) → (B, C, H*W) → flat top-K over classes*cells
             hm_flat = hm.transpose(0, 3, 1, 2).reshape(bsz, C * H * W)
-            scores, inds = jax.lax.top_k(hm_flat, k)
+            k_eff = min(k, C * H * W)
+            scores, inds = jax.lax.top_k(hm_flat, k_eff)
             cls = inds // (H * W)
             spatial = inds % (H * W)
             ys = (spatial // W).astype(jnp.float32)
@@ -324,9 +325,10 @@ class CenterHead(nn.Module):
             )
 
             nms_thresh = float(nms_cfg.NMS_THRESH)
+            pre_eff = min(pre_max, k_eff)
 
             def run_nms(bx, sc, vd):
-                sel, keep = nms_bev(bx, sc, nms_thresh, pre_max=pre_max,
+                sel, keep = nms_bev(bx, sc, nms_thresh, pre_max=pre_eff,
                                     post_max=post_max, valid=vd)
                 return sel, keep
 

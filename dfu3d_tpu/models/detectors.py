@@ -39,18 +39,38 @@ class CenterPoint(nn.Module):
 
         return thaw_cfg(self.model_cfg)
 
+    max_voxels: int = 60000  # voxel-variant capacity (MeanVFE path)
+
     def setup(self):
         cfg = self.cfg
         vfe_cfg = cfg.VFE
-        assert vfe_cfg.NAME in ("DynPillarVFE", "DynamicPillarVFE"), vfe_cfg.NAME
-        self.vfe = DynPillarVFE(
-            num_filters=tuple(vfe_cfg.NUM_FILTERS),
-            grid=self.grid,
-            use_norm=vfe_cfg.get("USE_NORM", True),
-            use_absolute_xyz=vfe_cfg.get("USE_ABSLOTE_XYZ", True),
-            with_distance=vfe_cfg.get("WITH_DISTANCE", False),
-            dtype=self.dtype,
-        )
+        self._use_voxel_backbone = "BACKBONE_3D" in cfg
+        if self._use_voxel_backbone:
+            # voxel CenterPoint: MeanVFE + sparse 3D backbone (the reference's
+            # alternative config, centerpoint_nuscenes2kitti.yaml:100-180)
+            from ..core.voxel.sparse_ops import SparseGrid
+            from .sparse_backbone import VoxelBackBone8x
+
+            assert vfe_cfg.NAME == "MeanVFE", vfe_cfg.NAME
+            nx, ny, nz = self.grid.grid_size
+            bb3d = cfg.BACKBONE_3D
+            self.backbone_3d = VoxelBackBone8x(
+                grid=SparseGrid(nx, ny, nz),
+                voxel_cap=self.max_voxels,
+                channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
+                out_channels=bb3d.get("OUT_CHANNELS", 128),
+                dtype=self.dtype,
+            )
+        else:
+            assert vfe_cfg.NAME in ("DynPillarVFE", "DynamicPillarVFE"), vfe_cfg.NAME
+            self.vfe = DynPillarVFE(
+                num_filters=tuple(vfe_cfg.NUM_FILTERS),
+                grid=self.grid,
+                use_norm=vfe_cfg.get("USE_NORM", True),
+                use_absolute_xyz=vfe_cfg.get("USE_ABSLOTE_XYZ", True),
+                with_distance=vfe_cfg.get("WITH_DISTANCE", False),
+                dtype=self.dtype,
+            )
         bb = cfg.BACKBONE_2D
         assert bb.NAME == "BaseBEVBackbone", bb.NAME
         self.backbone_2d = BaseBEVBackbone(
@@ -81,7 +101,30 @@ class CenterPoint(nn.Module):
         )
 
     def _features(self, batch, train: bool):
-        bev = self.vfe(batch.points, batch.points_valid, train)
+        if self._use_voxel_backbone:
+            from ..core.voxel import dynamic_voxelize
+            from .sparse_backbone import height_compression
+
+            def voxelize_one(points, valid):
+                vox = dynamic_voxelize(self.grid, points, valid, self.max_voxels)
+                sums = jax.ops.segment_sum(
+                    jnp.where(valid[:, None], points, 0.0),
+                    vox.point_to_voxel, num_segments=self.max_voxels,
+                )
+                counts = jax.ops.segment_sum(
+                    valid.astype(jnp.float32), vox.point_to_voxel,
+                    num_segments=self.max_voxels,
+                )
+                feats = sums / jnp.maximum(counts, 1.0)[:, None]
+                return feats, vox.voxel_coords, vox.voxel_valid
+
+            feats, coords, valid = jax.vmap(voxelize_one)(
+                batch.points, batch.points_valid
+            )
+            st = self.backbone_3d(feats, coords, valid, train)
+            bev = height_compression(st).astype(self.dtype)
+        else:
+            bev = self.vfe(batch.points, batch.points_valid, train)
         spatial_features_2d = self.backbone_2d(bev, train)
         return self.dense_head(spatial_features_2d, train)
 
@@ -105,11 +148,12 @@ class CenterPoint(nn.Module):
         )
 
 
-from .pointpillar import PointPillar  # noqa: E402
+from .pointpillar import PointPillar, SECONDNet  # noqa: E402
 
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
     "PointPillar": PointPillar,
+    "SECONDNet": SECONDNet,
 }
 
 

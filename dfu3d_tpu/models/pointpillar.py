@@ -1,6 +1,10 @@
-"""PointPillar detector (reference: pcdet/models/detectors/pointpillar.py —
-DynPillarVFE/PillarVFE → PointPillarScatter → BaseBEVBackbone →
-AnchorHeadSingle → class-agnostic NMS post-processing).
+"""Anchor-based detectors: PointPillar and SECOND.
+
+Reference: pcdet/models/detectors/pointpillar.py (DynPillarVFE →
+PointPillarScatter → BaseBEVBackbone → AnchorHeadSingle) and second_net.py
+(MeanVFE → VoxelBackBone8x → HeightCompression → BaseBEVBackbone →
+AnchorHeadSingle). Both share the anchor target-assignment / loss /
+class-agnostic-NMS assembly in `AnchorDetectorBase`.
 """
 from __future__ import annotations
 
@@ -12,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.geometry.nms import nms_bev
-from ..core.voxel import VoxelGrid
+from ..core.voxel import VoxelGrid, dynamic_voxelize
+from ..core.voxel.sparse_ops import SparseGrid
 from .anchor_head import (
     AnchorHeadSingle,
     AnchorTargets,
@@ -22,10 +27,14 @@ from .anchor_head import (
     generate_anchors,
 )
 from .backbone_2d import BaseBEVBackbone
+from .sparse_backbone import VoxelBackBone8x, height_compression
 from .vfe import DynPillarVFE
 
 
-class PointPillar(nn.Module):
+class AnchorDetectorBase(nn.Module):
+    """Shared anchor-head assembly. Subclasses define `_features` and call
+    `_setup_anchors` + `_setup_backbone2d_and_head` from their setup."""
+
     model_cfg: Any
     class_names: Sequence[str]
     grid: VoxelGrid
@@ -37,52 +46,14 @@ class PointPillar(nn.Module):
 
         return thaw_cfg(self.model_cfg)
 
-    def setup(self):
-        cfg = self.cfg
-        vfe_cfg = cfg.VFE
-        assert vfe_cfg.NAME in ("DynPillarVFE", "PillarVFE", "DynamicPillarVFE")
-        self.vfe = DynPillarVFE(
-            num_filters=tuple(vfe_cfg.NUM_FILTERS),
-            grid=self.grid,
-            use_norm=vfe_cfg.get("USE_NORM", True),
-            use_absolute_xyz=vfe_cfg.get("USE_ABSLOTE_XYZ", True),
-            with_distance=vfe_cfg.get("WITH_DISTANCE", False),
-            dtype=self.dtype,
-        )
-        bb = cfg.BACKBONE_2D
-        self.backbone_2d = BaseBEVBackbone(
-            layer_nums=tuple(bb.LAYER_NUMS),
-            layer_strides=tuple(bb.LAYER_STRIDES),
-            num_filters=tuple(bb.NUM_FILTERS),
-            upsample_strides=tuple(bb.UPSAMPLE_STRIDES),
-            num_upsample_filters=tuple(bb.NUM_UPSAMPLE_FILTERS),
-            dtype=self.dtype,
-        )
-
+    def _setup_anchors(self, cfg):
         dh = cfg.DENSE_HEAD
-        agc = []
-        for c in dh.ANCHOR_GENERATOR_CONFIG:
-            agc.append(
-                {
-                    "class_name": c["class_name"],
-                    "anchor_sizes": c["anchor_sizes"],
-                    "anchor_rotations": c["anchor_rotations"],
-                    "anchor_bottom_heights": c["anchor_bottom_heights"],
-                    "align_center": c.get("align_center", False),
-                    "feature_map_stride": c.get("feature_map_stride", 2),
-                    "matched_threshold": c["matched_threshold"],
-                    "unmatched_threshold": c["unmatched_threshold"],
-                }
-            )
-        self.anchor_cfgs = tuple(
-            tuple(sorted(c.items())) for c in agc
-        )  # hashable record
+        agc = [dict(c) for c in dh.ANCHOR_GENERATOR_CONFIG]
         anchors, counts = generate_anchors(
             agc, self.grid.grid_size, self.grid.point_cloud_range
         )
-        self._per_class_anchors = tuple(a for a in anchors)
+        self._per_class_anchors = tuple(anchors)
         self._per_loc_counts = tuple(counts)
-        # global anchor layout: concat on the size axis (reference cat dim=-3)
         self._anchors_flat = np.concatenate(
             [a.reshape(a.shape[0], a.shape[1], a.shape[2], -1, 7) for a in anchors],
             axis=3,
@@ -95,10 +66,16 @@ class PointPillar(nn.Module):
             dtype=self.dtype,
         )
 
-    def _features(self, batch, train: bool):
-        bev = self.vfe(batch.points, batch.points_valid, train)
-        spatial = self.backbone_2d(bev, train)
-        return self.dense_head(spatial)
+    def _setup_backbone2d(self, cfg):
+        bb = cfg.BACKBONE_2D
+        self.backbone_2d = BaseBEVBackbone(
+            layer_nums=tuple(bb.LAYER_NUMS),
+            layer_strides=tuple(bb.LAYER_STRIDES),
+            num_filters=tuple(bb.NUM_FILTERS),
+            upsample_strides=tuple(bb.UPSAMPLE_STRIDES),
+            num_upsample_filters=tuple(bb.NUM_UPSAMPLE_FILTERS),
+            dtype=self.dtype,
+        )
 
     # --- target assignment over the global anchor layout ---
 
@@ -106,7 +83,7 @@ class PointPillar(nn.Module):
         cfg = self.cfg
         dh = cfg.DENSE_HEAD
         match_height = dh.get("TARGET_ASSIGNER_CONFIG", {}).get("MATCH_HEIGHT", False)
-        labels_per_class, targets_per_class, weights_per_class = [], [], []
+        labels_pc, targets_pc, weights_pc = [], [], []
         for ci, acfg in enumerate(dh.ANCHOR_GENERATOR_CONFIG):
             cls_id = self.class_names.index(acfg["class_name"]) + 1
             anchors = self._per_class_anchors[ci]
@@ -122,26 +99,22 @@ class PointPillar(nn.Module):
                 )
 
             labels, targets, weights = jax.vmap(one_frame)(gt_boxes, gt_valid)
-            # reshape to (B, ny, nx, per_loc) for interleaved global layout
             per_loc = self._per_loc_counts[ci]
-            labels_per_class.append(labels.reshape(-1, ny, nx, per_loc))
-            targets_per_class.append(targets.reshape(-1, ny, nx, per_loc, 7))
-            weights_per_class.append(weights.reshape(-1, ny, nx, per_loc))
-        labels = jnp.concatenate(labels_per_class, axis=3).reshape(
-            gt_boxes.shape[0], -1
+            labels_pc.append(labels.reshape(-1, ny, nx, per_loc))
+            targets_pc.append(targets.reshape(-1, ny, nx, per_loc, 7))
+            weights_pc.append(weights.reshape(-1, ny, nx, per_loc))
+        b = gt_boxes.shape[0]
+        return AnchorTargets(
+            jnp.concatenate(labels_pc, axis=3).reshape(b, -1),
+            jnp.concatenate(targets_pc, axis=3).reshape(b, -1, 7),
+            jnp.concatenate(weights_pc, axis=3).reshape(b, -1),
         )
-        targets = jnp.concatenate(targets_per_class, axis=3).reshape(
-            gt_boxes.shape[0], -1, 7
-        )
-        weights = jnp.concatenate(weights_per_class, axis=3).reshape(
-            gt_boxes.shape[0], -1
-        )
-        return AnchorTargets(labels, targets, weights)
 
     def __call__(self, batch, train: bool = True):
         preds = self._features(batch, train)
         targets = self.assign_targets(batch.gt_boxes, batch.gt_valid)
-        lw = self.cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
+        cfg = self.cfg
+        lw = cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
         return anchor_head_loss(
             preds, targets, jnp.asarray(self._anchors_flat),
             len(self.class_names),
@@ -151,8 +124,8 @@ class PointPillar(nn.Module):
                 "dir_weight": lw.get("dir_weight", 0.2),
                 "code_weights": lw.get("code_weights", None),
             },
-            dir_offset=self.cfg.DENSE_HEAD.get("DIR_OFFSET", 0.78539),
-            num_dir_bins=self.cfg.DENSE_HEAD.get("NUM_DIR_BINS", 2),
+            dir_offset=cfg.DENSE_HEAD.get("DIR_OFFSET", 0.78539),
+            num_dir_bins=cfg.DENSE_HEAD.get("NUM_DIR_BINS", 2),
         )
 
     def predict(self, batch):
@@ -186,3 +159,73 @@ class PointPillar(nn.Module):
             )
 
         return jax.vmap(one_frame)(boxes, max_scores, labels)
+
+
+class PointPillar(AnchorDetectorBase):
+    def setup(self):
+        cfg = self.cfg
+        vfe_cfg = cfg.VFE
+        assert vfe_cfg.NAME in ("DynPillarVFE", "PillarVFE", "DynamicPillarVFE")
+        self.vfe = DynPillarVFE(
+            num_filters=tuple(vfe_cfg.NUM_FILTERS),
+            grid=self.grid,
+            use_norm=vfe_cfg.get("USE_NORM", True),
+            use_absolute_xyz=vfe_cfg.get("USE_ABSLOTE_XYZ", True),
+            with_distance=vfe_cfg.get("WITH_DISTANCE", False),
+            dtype=self.dtype,
+        )
+        self._setup_backbone2d(cfg)
+        self._setup_anchors(cfg)
+
+    def _features(self, batch, train: bool):
+        bev = self.vfe(batch.points, batch.points_valid, train)
+        spatial = self.backbone_2d(bev, train)
+        return self.dense_head(spatial)
+
+
+class SECONDNet(AnchorDetectorBase):
+    """MeanVFE → VoxelBackBone8x → HeightCompression → BEV backbone → anchors.
+
+    (reference: pcdet/models/detectors/second_net.py + MeanVFE + spconv
+    backbone; voxelization happens on-device via core/voxel.)
+    """
+
+    max_voxels: int = 16000
+
+    def setup(self):
+        cfg = self.cfg
+        nx, ny, nz = self.grid.grid_size
+        self.sparse_grid = SparseGrid(nx, ny, nz)
+        bb3d = cfg.get("BACKBONE_3D", {})
+        self.backbone_3d = VoxelBackBone8x(
+            grid=self.sparse_grid,
+            voxel_cap=self.max_voxels,
+            channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
+            out_channels=bb3d.get("OUT_CHANNELS", 128),
+            dtype=self.dtype,
+        )
+        self._setup_backbone2d(cfg)
+        self._setup_anchors(cfg)
+
+    def _features(self, batch, train: bool):
+        # MeanVFE: on-device voxelization + per-voxel feature mean
+        def voxelize_one(points, valid):
+            vox = dynamic_voxelize(self.grid, points, valid, self.max_voxels)
+            sums = jax.ops.segment_sum(
+                jnp.where(valid[:, None], points, 0.0),
+                vox.point_to_voxel, num_segments=self.max_voxels,
+            )
+            counts = jax.ops.segment_sum(
+                valid.astype(jnp.float32), vox.point_to_voxel,
+                num_segments=self.max_voxels,
+            )
+            feats = sums / jnp.maximum(counts, 1.0)[:, None]
+            return feats, vox.voxel_coords, vox.voxel_valid
+
+        feats, coords, valid = jax.vmap(voxelize_one)(
+            batch.points, batch.points_valid
+        )
+        st = self.backbone_3d(feats, coords, valid, train)
+        bev = height_compression(st).astype(self.dtype)
+        spatial = self.backbone_2d(bev, train)
+        return self.dense_head(spatial)

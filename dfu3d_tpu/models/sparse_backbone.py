@@ -1,0 +1,259 @@
+"""Sparse 3D convolution backbone — TPU-native VoxelBackBone8x.
+
+Replaces spconv's submanifold/strided sparse convolutions (reference:
+pcdet/models/backbones_3d/spconv_backbone.py:70-180 VoxelBackBone8x) with a
+gather-GEMM formulation: neighbor indices come from sort + searchsorted over
+linearized coords (core/voxel/sparse_ops.py), and each kernel offset
+contributes a (B·V, Cin) gather followed by a (Cin, Cout) matmul on the MXU —
+27 skinny matmuls accumulated, no hash tables, fully static shapes. All
+tensors are batched (B, V, …); per-element neighbor search is vmapped pure
+functions while the flax modules (params/BN) see the whole batch, so BN stats
+are global (and cross-device-synced under pjit).
+
+Deliberate deviations from spconv (documented; shapes configurable):
+* strided conv output set = unique parent cells of active inputs (coords // 2),
+  not spconv's full receptive-field output set — a tight common approximation
+  (torchsparse-style) that keeps per-stage capacity caps meaningful.
+* spatial dims halve as ceil(n/2) at every stage (spconv's per-layer padding
+  arithmetic differs by ±1 on some dims).
+
+Stage layout matches VoxelBackBone8x: 16 → 32 → 64 → 64 channels at strides
+1/2/4/8, plus a z-compressing conv_out to 128 channels; `height_compression`
+then reshapes (nz_out × C) into BEV channels (reference HeightCompression,
+backbones_2d/map_to_bev/height_compression.py:4-20).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.voxel.sparse_ops import (
+    SparseGrid,
+    build_lookup,
+    downsample_coords,
+    find_neighbors,
+    kernel_offsets,
+)
+
+
+class SparseTensor(NamedTuple):
+    features: jnp.ndarray  # (B, V, C)
+    coords: jnp.ndarray    # (B, V, 3) int32 (ix, iy, iz)
+    valid: jnp.ndarray     # (B, V)
+    grid: SparseGrid       # static
+
+
+class SparseBatchNorm(nn.Module):
+    """BN over valid voxels of the whole batch (spconv backbone: eps 1e-3,
+    momentum 0.01 ⇒ ema keep 0.99)."""
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x.astype(jnp.float32) * m, axis=(0, 1)) / count
+            var = jnp.sum(
+                jnp.square(x.astype(jnp.float32) - mean) * m, axis=(0, 1)
+            ) / count
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
+def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
+                       valid, offsets):
+    """(B, Q, K) neighbor indices into each element's (V,) voxel list."""
+
+    def one(qc, qv, c, v):
+        sorted_lin, order = build_lookup(grid, c, v)
+        return find_neighbors(grid, qc, qv, sorted_lin, order, offsets)
+
+    return jax.vmap(one)(query_coords, query_valid, coords, valid)
+
+
+def _gather_gemm(feats, valid, neighbor_idx, kernel):
+    """Σ_k gather(feats, nbr[..., k]) @ W[k]; sentinel index V → zero row.
+
+    Args:
+        feats: (B, V, Cin); valid: (B, V); neighbor_idx: (B, Q, K) int32 with
+        sentinel V; kernel: (K, Cin, Cout).
+    Returns:
+        (B, Q, Cout)
+    """
+    b, v, cin = feats.shape
+    q, k = neighbor_idx.shape[1], neighbor_idx.shape[2]
+    feats_masked = jnp.where(valid[..., None], feats, 0.0)
+    padded = jnp.concatenate(
+        [feats_masked, jnp.zeros((b, 1, cin), feats.dtype)], axis=1
+    ).reshape(b * (v + 1), cin)
+    base = (jnp.arange(b, dtype=jnp.int32) * (v + 1))[:, None]
+    out = None
+    for j in range(k):
+        idx_j = (neighbor_idx[:, :, j] + base).reshape(-1)  # (B*Q,)
+        g = jnp.take(padded, idx_j, axis=0).reshape(b, q, cin)
+        contrib = jnp.einsum("bqc,cd->bqd", g, kernel[j])
+        out = contrib if out is None else out + contrib
+    return out
+
+
+class SubMConv3d(nn.Module):
+    """Submanifold sparse conv: output set == input set."""
+
+    out_channels: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, st: SparseTensor):
+        offsets = kernel_offsets(*self.kernel_size)
+        nbr = _batched_neighbors(
+            st.grid, st.coords, st.valid, st.coords, st.valid, offsets
+        )
+        cin = st.features.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (len(offsets), cin, self.out_channels), jnp.float32,
+        )
+        out = _gather_gemm(
+            st.features.astype(self.dtype), st.valid, nbr, w.astype(self.dtype)
+        )
+        out = jnp.where(st.valid[..., None], out, 0.0)
+        return SparseTensor(out, st.coords, st.valid, st.grid)
+
+
+class SparseConv3dDown(nn.Module):
+    """Strided (2×) sparse conv; output set = parent cells of active inputs."""
+
+    out_channels: int
+    out_cap: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    z_only: bool = False  # stride (1,1,2): the z-compressing conv_out layer
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, st: SparseTensor):
+        down = st.grid.down_z() if self.z_only else st.grid.down()
+
+        def one(c, v):
+            return downsample_coords(down, c, v, self.out_cap, z_only=self.z_only)
+
+        out_coords, out_valid, _ = jax.vmap(one)(st.coords, st.valid)
+
+        if self.z_only:
+            centers = jnp.stack(
+                [out_coords[..., 0], out_coords[..., 1], out_coords[..., 2] * 2],
+                axis=-1,
+            )
+            ks = (1, 1, self.kernel_size[2])
+        else:
+            centers = out_coords * 2
+            ks = self.kernel_size
+        offsets = kernel_offsets(*ks)
+        nbr = _batched_neighbors(
+            st.grid, centers, out_valid, st.coords, st.valid, offsets
+        )
+        cin = st.features.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (len(offsets), cin, self.out_channels), jnp.float32,
+        )
+        out = _gather_gemm(
+            st.features.astype(self.dtype), st.valid, nbr, w.astype(self.dtype)
+        )
+        out = jnp.where(out_valid[..., None], out, 0.0)
+        return SparseTensor(out, out_coords, out_valid, down)
+
+
+class SparseConvBlock(nn.Module):
+    out_channels: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool):
+        st = SubMConv3d(self.out_channels, self.kernel_size, dtype=self.dtype)(st)
+        x = nn.relu(SparseBatchNorm(dtype=self.dtype)(st.features, st.valid, train))
+        x = jnp.where(st.valid[..., None], x, 0.0)
+        return SparseTensor(x, st.coords, st.valid, st.grid)
+
+
+class VoxelBackBone8x(nn.Module):
+    """16 → 32 → 64 → 64 @ strides 1/2/4/8 + z-compressing conv_out (128 ch)."""
+
+    grid: SparseGrid          # input sparse grid (nx, ny, nz)
+    voxel_cap: int            # stage-0 per-element capacity
+    channels: Sequence[int] = (16, 16, 32, 64, 64)
+    out_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, coords, valid, train: bool) -> SparseTensor:
+        st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
+
+        def down_bn_relu(st, ch, cap, z_only=False, name=None):
+            st = SparseConv3dDown(
+                ch, out_cap=cap, z_only=z_only, dtype=self.dtype, name=name
+            )(st)
+            x = nn.relu(
+                SparseBatchNorm(dtype=self.dtype, name=f"{name}_bn")(
+                    st.features, st.valid, train
+                )
+            )
+            x = jnp.where(st.valid[..., None], x, 0.0)
+            return SparseTensor(x, st.coords, st.valid, st.grid)
+
+        st = SparseConvBlock(self.channels[0], dtype=self.dtype, name="conv_input")(st, train)
+        st = SparseConvBlock(self.channels[1], dtype=self.dtype, name="conv1")(st, train)
+        st = down_bn_relu(st, self.channels[2], max(self.voxel_cap // 2, 16), name="down2")
+        st = SparseConvBlock(self.channels[2], dtype=self.dtype, name="conv2a")(st, train)
+        st = SparseConvBlock(self.channels[2], dtype=self.dtype, name="conv2b")(st, train)
+        st = down_bn_relu(st, self.channels[3], max(self.voxel_cap // 4, 16), name="down3")
+        st = SparseConvBlock(self.channels[3], dtype=self.dtype, name="conv3a")(st, train)
+        st = SparseConvBlock(self.channels[3], dtype=self.dtype, name="conv3b")(st, train)
+        st = down_bn_relu(st, self.channels[4], max(self.voxel_cap // 8, 16), name="down4")
+        st = SparseConvBlock(self.channels[4], dtype=self.dtype, name="conv4a")(st, train)
+        st = SparseConvBlock(self.channels[4], dtype=self.dtype, name="conv4b")(st, train)
+        st = down_bn_relu(
+            st, self.out_channels, max(self.voxel_cap // 8, 16),
+            z_only=True, name="conv_out",
+        )
+        return st
+
+
+def height_compression(st: SparseTensor):
+    """Sparse → dense BEV: (B, ny, nx, nz_out * C) (reference HeightCompression)."""
+    g = st.grid
+    b = st.features.shape[0]
+    c = st.features.shape[-1]
+    cells = g.nx * g.ny * g.nz
+    lin = (
+        (st.coords[..., 2] * g.ny + st.coords[..., 1]) * g.nx + st.coords[..., 0]
+    )
+    batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    lin = jnp.where(st.valid, lin + batch_idx * cells, b * cells)
+    dense = jax.ops.segment_sum(
+        st.features.astype(jnp.float32).reshape(-1, c), lin.reshape(-1),
+        num_segments=b * cells,
+    )
+    dense = dense.reshape(b, g.nz, g.ny, g.nx, c)
+    return dense.transpose(0, 2, 3, 1, 4).reshape(b, g.ny, g.nx, g.nz * c)

@@ -247,3 +247,30 @@ class TestTargetAssignment:
         # beyond the radius window → 0
         if 8 + r + 1 < hm.shape[1]:
             assert hm[16, 8 + r + 1] == 0.0
+
+
+class TestVoxelCenterPoint:
+    def test_voxel_variant_loss_and_predict(self):
+        """CenterPoint with BACKBONE_3D (MeanVFE + sparse backbone)."""
+        from dfu3d_tpu.core.voxel import VoxelGrid
+
+        cfg = tiny_model_cfg()
+        cfg["VFE"] = {"NAME": "MeanVFE"}
+        cfg["BACKBONE_3D"] = {"NAME": "VoxelBackBone8x"}
+        cfg["MAP_TO_BEV"] = {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 256}
+        cfg["BACKBONE_2D"]["LAYER_STRIDES"] = [1, 2]
+        cfg["DENSE_HEAD"]["TARGET_ASSIGNER_CONFIG"]["FEATURE_MAP_STRIDE"] = 8
+        grid = VoxelGrid.create([0, -6.4, -3, 6.4, 6.4, 1], [0.2, 0.2, 0.25])
+        from dfu3d_tpu.models import build_network
+
+        model = build_network(cfg, CLASS_NAMES, grid)
+        batch = make_batch(np.random.RandomState(11), b=2, n=512)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False,
+            method=lambda m, b, train: m._features(b, train),
+        )
+        (loss, _), _ = model.apply(variables, batch, train=True,
+                                   mutable=["batch_stats"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        out = model.apply(variables, batch, method=lambda m, b: m.predict(b))
+        assert np.all(np.isfinite(np.asarray(out[0])))

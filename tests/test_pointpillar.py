@@ -220,3 +220,110 @@ class TestPointPillar:
         tgt = np.asarray(targets.box_reg_targets)[0][pos]
         # the exactly-matching anchor has a ~zero residual target
         assert np.min(np.abs(tgt).sum(axis=1)) < 1e-3
+
+
+def second_model_cfg():
+    cfg = pp_model_cfg()
+    cfg["NAME"] = "SECONDNet"
+    cfg["VFE"] = {"NAME": "MeanVFE"}
+    cfg["BACKBONE_3D"] = {"NAME": "VoxelBackBone8x"}
+    cfg["MAP_TO_BEV"] = {"NAME": "HeightCompression", "NUM_BEV_FEATURES": 256}
+    cfg["BACKBONE_2D"] = {
+        "NAME": "BaseBEVBackbone",
+        "LAYER_NUMS": [2, 2],
+        "LAYER_STRIDES": [1, 2],
+        "NUM_FILTERS": [32, 64],
+        "UPSAMPLE_STRIDES": [1, 2],
+        "NUM_UPSAMPLE_FILTERS": [32, 32],
+    }
+    # anchors live on the stride-8 feature map
+    for c in cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"]:
+        c["feature_map_stride"] = 8
+    return cfg
+
+
+def second_grid():
+    # 3D voxel grid with real z resolution (nz = 16)
+    return VoxelGrid.create([0, -6.4, -3, 6.4, 6.4, 1], [0.2, 0.2, 0.25])
+
+
+class TestSECOND:
+    def test_loss_gradients_predict(self):
+        model = build_network(second_model_cfg(), CLASSES, second_grid())
+        batch = make_batch(np.random.RandomState(9), b=2, n=512)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False,
+            method=lambda m, b, train: m._features(b, train),
+        )
+        (loss, tb), _ = model.apply(variables, batch, train=True,
+                                    mutable=["batch_stats"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+        def loss_fn(params):
+            (l, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return l
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(g)) for g in leaves)
+        # sparse backbone kernels actually receive gradient
+        total = sum(float(np.abs(g).sum()) for g in leaves)
+        assert total > 0
+
+        boxes, scores, labels, keep = model.apply(
+            variables, batch, method=lambda m, b: m.predict(b)
+        )
+        assert boxes.shape[-1] == 7
+        assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+class TestSparseOps:
+    def test_submanifold_neighbors(self):
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            SparseGrid, build_lookup, find_neighbors, kernel_offsets,
+        )
+
+        grid = SparseGrid(8, 8, 4)
+        coords = np.array(
+            [[1, 1, 1], [2, 1, 1], [5, 5, 3], [0, 0, 0]], np.int32
+        )
+        coords = np.pad(coords, ((0, 4), (0, 0)))
+        valid = np.array([True] * 4 + [False] * 4)
+        sorted_lin, order = build_lookup(grid, jnp.asarray(coords), jnp.asarray(valid))
+        offsets = kernel_offsets(3, 3, 3)
+        nbr = np.asarray(
+            find_neighbors(grid, jnp.asarray(coords), jnp.asarray(valid),
+                           sorted_lin, order, offsets)
+        )
+        v = len(coords)
+        center_k = 13  # offset (0,0,0)
+        # each voxel finds itself at the center offset
+        for i in range(4):
+            assert nbr[i, center_k] == i
+        # (1,1,1) finds (2,1,1) at offset (+1,0,0)
+        kx = [tuple(o) for o in offsets].index((1, 0, 0))
+        assert nbr[0, kx] == 1
+        # isolated voxel has only itself
+        assert (np.asarray(nbr[2]) != v).sum() == 1
+        # invalid queries resolve to the sentinel everywhere
+        assert (nbr[4:] == v).all()
+
+    def test_downsample_unique_parents(self):
+        from dfu3d_tpu.core.voxel.sparse_ops import SparseGrid, downsample_coords
+
+        grid_down = SparseGrid(4, 4, 2)
+        coords = np.array(
+            [[0, 0, 0], [1, 1, 1], [2, 2, 2], [3, 3, 3], [7, 7, 3]], np.int32
+        )
+        coords = np.pad(coords, ((0, 3), (0, 0)))
+        valid = np.array([True] * 5 + [False] * 3)
+        out_c, out_v, slot = downsample_coords(
+            grid_down, jnp.asarray(coords), jnp.asarray(valid), 8
+        )
+        out_c, out_v = np.asarray(out_c), np.asarray(out_v)
+        got = {tuple(c) for c, v in zip(out_c, out_v) if v}
+        # parents: (0,0,0)x2, (1,1,1)x2, (3,3,1)
+        assert got == {(0, 0, 0), (1, 1, 1), (3, 3, 1)}
