@@ -149,11 +149,13 @@ class CenterPoint(nn.Module):
 
 
 from .pointpillar import PointPillar, SECONDNet  # noqa: E402
+from .pointrcnn import PointRCNN  # noqa: E402
 
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
     "PointPillar": PointPillar,
     "SECONDNet": SECONDNet,
+    "PointRCNN": PointRCNN,
 }
 
 
