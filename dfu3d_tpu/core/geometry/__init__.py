@@ -32,4 +32,4 @@ from .iou import (
     pairwise_iou_bev,
     pairwise_overlap_bev,
 )
-from .nms import class_agnostic_nms, multi_classes_nms, nms_bev
+from .nms import class_agnostic_nms, class_specific_nms, multi_classes_nms, nms_bev

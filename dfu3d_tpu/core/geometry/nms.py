@@ -163,3 +163,28 @@ def multi_classes_nms(cls_scores, box_preds, nms_thresh, pre_max: int, post_max:
         idxs.reshape(-1),
         keeps.reshape(-1),
     )
+
+
+def class_specific_nms(box_scores, box_preds, box_labels, nms_thresh_per_class,
+                       pre_max: int, post_max: int, score_thresh=None):
+    """Per-class NMS with per-class thresholds (reference
+    model_nms_utils.class_specific_nms:70-110). box_labels are 0-based.
+
+    Returns (scores, labels, indices, keep), each (num_class * post_max,).
+    """
+    num_class = len(nms_thresh_per_class)
+    outs = []
+    for k, thresh in enumerate(nms_thresh_per_class):
+        valid = box_labels == k
+        if score_thresh is not None:
+            st = score_thresh[k] if isinstance(score_thresh, (list, tuple)) else score_thresh
+            valid = valid & (box_scores > st)
+        idx, keep = nms_bev(box_preds[:, 0:7], box_scores, float(thresh),
+                            pre_max=pre_max, post_max=post_max, valid=valid)
+        outs.append((jnp.where(keep, box_scores[idx], 0.0),
+                     jnp.full_like(idx, k), idx, keep))
+    scores = jnp.concatenate([o[0] for o in outs])
+    labels = jnp.concatenate([o[1] for o in outs])
+    indices = jnp.concatenate([o[2] for o in outs])
+    keeps = jnp.concatenate([o[3] for o in outs])
+    return scores, labels, indices, keeps

@@ -66,6 +66,12 @@ class KittiDataset(DatasetTemplate):
     # --- per-frame getters ---
 
     def get_lidar(self, idx):
+        if self.dataset_cfg.get("USE_VELODYNE_DEPTH", False):
+            f = self.root_split_path / "velodyne_depth" / f"{idx}.npy"
+            if f.exists():
+                # densified fused cloud (N, 8): keep xyz + intensity layout
+                fused = kitti_io.read_velodyne_depth_npy(f)
+                return fused[:, :4]
         lidar_file = self.root_split_path / "velodyne" / f"{idx}.bin"
         return kitti_io.read_velodyne_bin(lidar_file)
 

@@ -53,7 +53,7 @@ def train_model(model, tx, state, train_loader, cfg, args, ckpt_dir, logger,
     if mesh is None:
         mesh = make_mesh(model=1)
     state = replicate(mesh, state)
-    train_step = jax.jit(make_train_step(model, tx))
+    train_step = jax.jit(make_train_step(model, tx), donate_argnums=0)
 
     accumulated_iter = int(state.step)
     steps_per_epoch = len(train_loader)

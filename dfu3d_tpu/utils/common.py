@@ -32,3 +32,22 @@ def set_random_seed(seed: int):
     explicit via PRNG keys derived from the same seed."""
     random.seed(seed)
     np.random.seed(seed)
+
+
+def maybe_force_platform():
+    """Honor DFU3D_PLATFORM=cpu|tpu before first backend use. The axon
+    sitecustomize pins JAX_PLATFORMS=axon at interpreter start, so plain env
+    vars cannot force CPU; the config API can (see tests/conftest.py)."""
+    import os
+
+    plat = os.environ.get("DFU3D_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu" and "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count="
+                + os.environ.get("DFU3D_CPU_DEVICES", "1")
+            )

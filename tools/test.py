@@ -10,6 +10,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from dfu3d_tpu.utils.common import maybe_force_platform
+
+maybe_force_platform()
+
 import jax
 import jax.numpy as jnp
 
