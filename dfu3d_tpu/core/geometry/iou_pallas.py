@@ -10,6 +10,12 @@ Mosaic constraint honored: NO gathers — corners are passed as separate x/y
 component arrays and every edge access is a static-index slice; the 4×4
 edge-pair interaction is two unrolled python loops over (TILE_A, TILE_B)
 elementwise math.
+
+STATUS: correct under `interpret=True` (tests/test_iou_pallas.py); execution
+on the current axon-tunneled chip is blocked by the environment (Mosaic remote
+compile hangs; local compile hits a libtpu client/terminal version mismatch —
+see .claude/skills/verify/SKILL.md). The XLA path (iou.py) remains the default
+everywhere; flip callers to this kernel once the tunnel's libtpu is updated.
 """
 from __future__ import annotations
 

@@ -115,18 +115,23 @@ def _gather_gemm(feats, valid, neighbor_idx, kernel):
 
 
 class SubMConv3d(nn.Module):
-    """Submanifold sparse conv: output set == input set."""
+    """Submanifold sparse conv: output set == input set.
+
+    Accepts a precomputed neighbor table (`nbr`) so stacked SubM layers on the
+    same coordinate set share one sort+searchsorted pass (the spconv
+    `indice_key` reuse, spconv_backbone.py post_act_block)."""
 
     out_channels: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, st: SparseTensor):
+    def __call__(self, st: SparseTensor, nbr=None):
         offsets = kernel_offsets(*self.kernel_size)
-        nbr = _batched_neighbors(
-            st.grid, st.coords, st.valid, st.coords, st.valid, offsets
-        )
+        if nbr is None:
+            nbr = _batched_neighbors(
+                st.grid, st.coords, st.valid, st.coords, st.valid, offsets
+            )
         cin = st.features.shape[-1]
         w = self.param(
             "kernel",
@@ -190,8 +195,8 @@ class SparseConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool):
-        st = SubMConv3d(self.out_channels, self.kernel_size, dtype=self.dtype)(st)
+    def __call__(self, st: SparseTensor, train: bool, nbr=None):
+        st = SubMConv3d(self.out_channels, self.kernel_size, dtype=self.dtype)(st, nbr)
         x = nn.relu(SparseBatchNorm(dtype=self.dtype)(st.features, st.valid, train))
         x = jnp.where(st.valid[..., None], x, 0.0)
         return SparseTensor(x, st.coords, st.valid, st.grid)
@@ -209,6 +214,14 @@ class VoxelBackBone8x(nn.Module):
     @nn.compact
     def __call__(self, features, coords, valid, train: bool) -> SparseTensor:
         st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
+        offsets = kernel_offsets(3, 3, 3)
+
+        def subm_nbr(st):
+            # one neighbor table per coordinate set, shared by all SubM layers
+            # at that resolution (spconv indice_key reuse)
+            return _batched_neighbors(
+                st.grid, st.coords, st.valid, st.coords, st.valid, offsets
+            )
 
         def down_bn_relu(st, ch, cap, z_only=False, name=None):
             st = SparseConv3dDown(
@@ -222,17 +235,21 @@ class VoxelBackBone8x(nn.Module):
             x = jnp.where(st.valid[..., None], x, 0.0)
             return SparseTensor(x, st.coords, st.valid, st.grid)
 
-        st = SparseConvBlock(self.channels[0], dtype=self.dtype, name="conv_input")(st, train)
-        st = SparseConvBlock(self.channels[1], dtype=self.dtype, name="conv1")(st, train)
+        nbr = subm_nbr(st)
+        st = SparseConvBlock(self.channels[0], dtype=self.dtype, name="conv_input")(st, train, nbr)
+        st = SparseConvBlock(self.channels[1], dtype=self.dtype, name="conv1")(st, train, nbr)
         st = down_bn_relu(st, self.channels[2], max(self.voxel_cap // 2, 16), name="down2")
-        st = SparseConvBlock(self.channels[2], dtype=self.dtype, name="conv2a")(st, train)
-        st = SparseConvBlock(self.channels[2], dtype=self.dtype, name="conv2b")(st, train)
+        nbr = subm_nbr(st)
+        st = SparseConvBlock(self.channels[2], dtype=self.dtype, name="conv2a")(st, train, nbr)
+        st = SparseConvBlock(self.channels[2], dtype=self.dtype, name="conv2b")(st, train, nbr)
         st = down_bn_relu(st, self.channels[3], max(self.voxel_cap // 4, 16), name="down3")
-        st = SparseConvBlock(self.channels[3], dtype=self.dtype, name="conv3a")(st, train)
-        st = SparseConvBlock(self.channels[3], dtype=self.dtype, name="conv3b")(st, train)
+        nbr = subm_nbr(st)
+        st = SparseConvBlock(self.channels[3], dtype=self.dtype, name="conv3a")(st, train, nbr)
+        st = SparseConvBlock(self.channels[3], dtype=self.dtype, name="conv3b")(st, train, nbr)
         st = down_bn_relu(st, self.channels[4], max(self.voxel_cap // 8, 16), name="down4")
-        st = SparseConvBlock(self.channels[4], dtype=self.dtype, name="conv4a")(st, train)
-        st = SparseConvBlock(self.channels[4], dtype=self.dtype, name="conv4b")(st, train)
+        nbr = subm_nbr(st)
+        st = SparseConvBlock(self.channels[4], dtype=self.dtype, name="conv4a")(st, train, nbr)
+        st = SparseConvBlock(self.channels[4], dtype=self.dtype, name="conv4b")(st, train, nbr)
         st = down_bn_relu(
             st, self.out_channels, max(self.voxel_cap // 8, 16),
             z_only=True, name="conv_out",

@@ -1,0 +1,80 @@
+"""ENet depth-completion tests: shapes, losses, and learning on sparse supervision."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfu3d_tpu.models.depth_completion import (
+    ENet,
+    geometry_feature,
+    masked_l1_loss,
+    masked_l2_loss,
+)
+
+
+class TestGeometryFeature:
+    def test_backprojection(self):
+        depth = jnp.full((1, 8, 16, 1), 10.0)
+        geo = np.asarray(geometry_feature(depth, 8.0, 4.0, 100.0, 100.0))
+        assert np.allclose(geo[..., 2], 10.0)
+        # pixel at (u=cu, v=cv) → x=y=0
+        assert abs(geo[0, 4, 8, 0]) < 1e-5 and abs(geo[0, 4, 8, 1]) < 1e-5
+        # one pixel right of center → x = z/fu
+        assert abs(geo[0, 4, 9, 0] - 0.1) < 1e-5
+
+
+class TestLosses:
+    def test_masked(self):
+        pred = jnp.ones((1, 4, 4, 1)) * 2.0
+        tgt = jnp.zeros((1, 4, 4, 1)).at[0, 0, 0, 0].set(5.0)
+        assert abs(float(masked_l2_loss(pred, tgt)) - 9.0) < 1e-5
+        assert abs(float(masked_l1_loss(pred, tgt)) - 3.0) < 1e-5
+
+
+class TestENet:
+    def test_forward_and_overfit(self, rng):
+        h, w = 32, 64
+        model = ENet(widths=(8, 16, 32))
+        rgb = jnp.asarray(rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32))
+        # ground-truth smooth depth field + sparse observations
+        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+        gt = (10 + 0.05 * uu + 0.02 * vv).astype(np.float32)
+        sparse = np.zeros((2, h, w, 1), np.float32)
+        mask = rng.uniform(0, 1, (2, h, w)) < 0.1
+        sparse[mask] = np.broadcast_to(gt, (2, h, w))[mask][:, None]
+        sparse = jnp.asarray(sparse)
+
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, rgb, sparse, 32.0, 16.0,
+            100.0, 100.0, train=False,
+        )
+
+        import optax
+
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(variables["params"])
+
+        @jax.jit
+        def step(params, batch_stats, opt_state):
+            def loss_fn(p):
+                (fused, cd, dd), updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, rgb, sparse,
+                    32.0, 16.0, 100.0, 100.0, train=True,
+                    mutable=["batch_stats"],
+                )
+                loss = (masked_l2_loss(fused, sparse)
+                        + masked_l2_loss(cd, sparse)
+                        + masked_l2_loss(dd, sparse))
+                return loss, updates["batch_stats"]
+
+            (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, opt_state2 = tx.update(grads, opt_state)
+            return optax.apply_updates(params, upd), bs, opt_state2, loss
+
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        losses = []
+        for _ in range(40):
+            params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.2, losses[::8]
