@@ -1,8 +1,10 @@
 from .dataset import DatasetTemplate, PointBatch
 from .kitti_dataset import KittiDataset
 from .loader import build_dataloader
+from .nuscenes_dataset import NuScenesDataset
 
 __all_datasets__ = {
     "DatasetTemplate": DatasetTemplate,
     "KittiDataset": KittiDataset,
+    "NuScenesDataset": NuScenesDataset,
 }
