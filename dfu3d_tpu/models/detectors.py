@@ -150,12 +150,14 @@ class CenterPoint(nn.Module):
 
 from .pointpillar import PointPillar, SECONDNet  # noqa: E402
 from .pointrcnn import PointRCNN  # noqa: E402
+from .voxelnext import VoxelNeXt  # noqa: E402
 
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
     "PointPillar": PointPillar,
     "SECONDNet": SECONDNet,
     "PointRCNN": PointRCNN,
+    "VoxelNeXt": VoxelNeXt,
 }
 
 

@@ -1,0 +1,280 @@
+"""VoxelNeXt: fully sparse voxel detector.
+
+Reference: pcdet/models/detectors/voxelnext.py + backbones_3d
+VoxelResBackBone8xVoxelNeXt + dense_heads/voxelnext_head.py (559 LoC sparse
+head). Capability re-design on this repo's sparse substrate:
+
+* backbone: VoxelBackBone8x stages to stride 8, plus two extra downsample
+  stages (strides 16/32) whose voxels are mapped back onto the stride-8 grid
+  and concatenated (the VoxelNeXt multi-scale trick), then a sparse
+  height-collapse: unique (x, y) BEV cells with feature summation over z —
+  no dense BEV tensor is ever built.
+* head: SubM 2D (3, 3, 1) blocks over the sparse BEV set + per-voxel linear
+  heads (hm per class, center/center_z/dim/rot).
+* targets: each gt box claims its nearest active BEV voxel (heatmap 1) with a
+  distance-gaussian on the remaining voxels (centernet_utils.
+  draw_gaussian_to_heatmap_voxels semantics).
+* decode: top-K over (voxel, class) scores + rotated NMS; fixed-size masked
+  output.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry.nms import nms_bev
+from ..core.voxel import VoxelGrid, dynamic_voxelize
+from ..core.voxel.sparse_ops import SparseGrid, downsample_coords
+from . import losses
+from .sparse_backbone import (
+    SparseConvBlock,
+    SparseConv3dDown,
+    SparseBatchNorm,
+    SparseTensor,
+    VoxelBackBone8x,
+)
+
+
+def sparse_bev_collapse(st: SparseTensor, out_cap: int):
+    """Collapse z: unique (x, y) cells, features summed (VoxelNeXt z-pooling)."""
+    g = st.grid
+    bev_grid = SparseGrid(g.nx, g.ny, 1)
+    flat_coords = jnp.concatenate(
+        [st.coords[..., 0:2], jnp.zeros_like(st.coords[..., 2:3])], axis=-1
+    )
+
+    def one(c, v, f):
+        out_coords, out_valid, slot = downsample_coords(
+            bev_grid, c * jnp.array([1, 1, 0]), v, out_cap, z_only=True
+        )
+        summed = jax.ops.segment_sum(
+            jnp.where(v[:, None], f, 0.0).astype(jnp.float32), slot,
+            num_segments=out_cap,
+        )
+        return out_coords, out_valid, summed
+
+    # NOTE: downsample_coords halves z when z_only; with z pre-zeroed the
+    # parent cell is (x, y, 0) as required.
+    coords = flat_coords
+    out_coords, out_valid, feats = jax.vmap(one)(coords, st.valid, st.features)
+    return SparseTensor(
+        feats.astype(st.features.dtype), out_coords, out_valid, bev_grid
+    )
+
+
+class VoxelNeXt(nn.Module):
+    model_cfg: Any
+    class_names: Sequence[str]
+    grid: VoxelGrid
+    dtype: jnp.dtype = jnp.float32
+    max_voxels: int = 16000
+
+    @property
+    def cfg(self):
+        from ..utils.config import thaw_cfg
+
+        return thaw_cfg(self.model_cfg)
+
+    def setup(self):
+        cfg = self.cfg
+        nx, ny, nz = self.grid.grid_size
+        bb3d = cfg.get("BACKBONE_3D", {})
+        self.backbone_3d = VoxelBackBone8x(
+            grid=SparseGrid(nx, ny, nz),
+            voxel_cap=self.max_voxels,
+            channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
+            out_channels=bb3d.get("OUT_CHANNELS", 128),
+            dtype=self.dtype,
+        )
+        ch = bb3d.get("OUT_CHANNELS", 128)
+        self.down16 = SparseConv3dDown(
+            ch, out_cap=max(self.max_voxels // 16, 16), dtype=self.dtype
+        )
+        self.down32 = SparseConv3dDown(
+            ch, out_cap=max(self.max_voxels // 32, 16), dtype=self.dtype
+        )
+        dh = cfg.DENSE_HEAD
+        self.shared_blocks = [
+            SparseConvBlock(
+                dh.get("SHARED_CONV_CHANNEL", 128), kernel_size=(3, 3, 1),
+                dtype=self.dtype, name=f"bev_block{i}",
+            )
+            for i in range(dh.get("NUM_SHARED_BLOCKS", 2))
+        ]
+        self.hm_head = nn.Dense(len(self.class_names), param_dtype=jnp.float32,
+                                bias_init=nn.initializers.constant(-2.19),
+                                name="hm_head")
+        self.reg_head = nn.Dense(8, param_dtype=jnp.float32, name="reg_head")
+        self.bev_cap = int(cfg.get("BEV_CAP", self.max_voxels // 4))
+
+    def _features(self, batch, train: bool):
+        def voxelize_one(points, valid):
+            vox = dynamic_voxelize(self.grid, points, valid, self.max_voxels)
+            sums = jax.ops.segment_sum(
+                jnp.where(valid[:, None], points, 0.0),
+                vox.point_to_voxel, num_segments=self.max_voxels,
+            )
+            counts = jax.ops.segment_sum(
+                valid.astype(jnp.float32), vox.point_to_voxel,
+                num_segments=self.max_voxels,
+            )
+            feats = sums / jnp.maximum(counts, 1.0)[:, None]
+            return feats, vox.voxel_coords, vox.voxel_valid
+
+        feats, coords, valid = jax.vmap(voxelize_one)(
+            batch.points, batch.points_valid
+        )
+        st8 = self.backbone_3d(feats, coords, valid, train)
+        st16 = self.down16(st8)
+        st32 = self.down32(st16)
+        # map coarser voxels back onto the stride-8 grid and concatenate sets
+        coords16 = jnp.concatenate(
+            [st16.coords[..., 0:2] * 2, st16.coords[..., 2:3]], axis=-1
+        )
+        coords32 = jnp.concatenate(
+            [st32.coords[..., 0:2] * 4, st32.coords[..., 2:3]], axis=-1
+        )
+        all_coords = jnp.concatenate([st8.coords, coords16, coords32], axis=1)
+        all_feats = jnp.concatenate(
+            [st8.features, st16.features, st32.features], axis=1
+        )
+        all_valid = jnp.concatenate([st8.valid, st16.valid, st32.valid], axis=1)
+        merged = SparseTensor(all_feats, all_coords, all_valid, st8.grid)
+
+        bev = sparse_bev_collapse(merged, self.bev_cap)
+        for blk in self.shared_blocks:
+            bev = blk(bev, train)
+        hm = self.hm_head(bev.features.astype(jnp.float32))
+        reg = self.reg_head(bev.features.astype(jnp.float32))
+        return bev, hm, reg
+
+    def _voxel_xy(self, bev: SparseTensor):
+        """BEV voxel centers in world coords (stride-8 cells)."""
+        pcr = jnp.asarray(self.grid.point_cloud_range, jnp.float32)
+        vs = jnp.asarray(self.grid.voxel_size, jnp.float32)
+        stride = 8.0
+        x = (bev.coords[..., 0].astype(jnp.float32) + 0.5) * vs[0] * stride + pcr[0]
+        y = (bev.coords[..., 1].astype(jnp.float32) + 0.5) * vs[1] * stride + pcr[1]
+        return x, y
+
+    def assign_targets(self, bev: SparseTensor, gt_boxes, gt_valid):
+        """Nearest-active-voxel assignment + distance gaussian."""
+        vx, vy = self._voxel_xy(bev)  # (B, V)
+        gx, gy = gt_boxes[..., 0], gt_boxes[..., 1]  # (B, M)
+        cls_id = gt_boxes[..., 7].astype(jnp.int32)
+        live = gt_valid & (cls_id > 0) & (gt_boxes[..., 3] > 0)
+
+        d2 = (
+            (vx[:, :, None] - gx[:, None, :]) ** 2
+            + (vy[:, :, None] - gy[:, None, :]) ** 2
+        )  # (B, V, M)
+        d2 = jnp.where(live[:, None, :] & bev.valid[..., None], d2, 1e12)
+        nearest = jnp.argmin(d2, axis=1)  # (B, M) voxel slot per gt
+        min_d2 = jnp.min(d2, axis=1)
+        claimed = live & (min_d2 < (8.0 * 4) ** 2)  # gt must land near a voxel
+
+        # gaussian heatmap over voxels per class: σ from box size (min_radius 2)
+        stride_m = 8.0 * self.grid.voxel_size[0]
+        radius = jnp.maximum(
+            jnp.minimum(gt_boxes[..., 3], gt_boxes[..., 4]) / (2 * stride_m), 2.0
+        )
+        sigma = (2 * radius + 1) / 6.0  # (B, M)
+        g = jnp.exp(-d2 / (2 * (sigma[:, None, :] * stride_m) ** 2))
+        g = jnp.where(claimed[:, None, :], g, 0.0)
+
+        num_cls = len(self.class_names)
+        hm_t = jnp.zeros(bev.valid.shape + (num_cls,), jnp.float32)
+        for c in range(num_cls):
+            sel = claimed & (cls_id == c + 1)
+            hm_c = jnp.max(jnp.where(sel[:, None, :], g, 0.0), axis=2)
+            hm_t = hm_t.at[..., c].set(hm_c)
+        # exact peak 1 at the claimed nearest voxel
+        b_idx = jnp.arange(gt_boxes.shape[0])[:, None]
+        peak_val = jnp.where(claimed, 1.0, 0.0)
+        hm_t = hm_t.at[b_idx, nearest, jnp.clip(cls_id - 1, 0, num_cls - 1)].max(
+            peak_val
+        )
+
+        # regression targets at the claimed voxels
+        vxg = jnp.take_along_axis(vx, nearest, axis=1)
+        vyg = jnp.take_along_axis(vy, nearest, axis=1)
+        reg_t = jnp.stack(
+            [
+                gx - vxg,
+                gy - vyg,
+                gt_boxes[..., 2],
+                jnp.log(jnp.maximum(gt_boxes[..., 3], 1e-6)),
+                jnp.log(jnp.maximum(gt_boxes[..., 4], 1e-6)),
+                jnp.log(jnp.maximum(gt_boxes[..., 5], 1e-6)),
+                jnp.cos(gt_boxes[..., 6]),
+                jnp.sin(gt_boxes[..., 6]),
+            ],
+            axis=-1,
+        )
+        return hm_t, nearest, reg_t, claimed
+
+    def __call__(self, batch, train: bool = True):
+        bev, hm, reg = self._features(batch, train)
+        hm_t, inds, reg_t, mask = self.assign_targets(
+            bev, batch.gt_boxes, batch.gt_valid
+        )
+        hm_prob = losses.sigmoid_clamped(hm)
+        hm_prob = jnp.where(bev.valid[..., None], hm_prob, 1e-4)
+        hm_loss = losses.focal_loss_centernet(hm_prob, hm_t)
+        reg_loss = losses.reg_loss_centernet(reg, reg_t, inds, mask)
+        lw = self.cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
+        code_w = jnp.asarray(lw.get("code_weights", [1.0] * 8), jnp.float32)
+        total = (
+            hm_loss * lw.get("cls_weight", 1.0)
+            + jnp.sum(reg_loss * code_w) * lw.get("loc_weight", 0.25)
+        )
+        return total, {"hm_loss": hm_loss, "rpn_loss": total}
+
+    def predict(self, batch):
+        cfg = self.cfg
+        pp = cfg.DENSE_HEAD.POST_PROCESSING
+        bev, hm, reg = self._features(batch, train=False)
+        scores_all = jax.nn.sigmoid(hm)  # (B, V, C)
+        scores_all = jnp.where(bev.valid[..., None], scores_all, 0.0)
+        vx, vy = self._voxel_xy(bev)
+
+        k = min(int(pp.MAX_OBJ_PER_SAMPLE), scores_all.shape[1])
+        b, v, c = scores_all.shape
+        flat = scores_all.transpose(0, 2, 1).reshape(b, c * v)
+        scores, idx = jax.lax.top_k(flat, k)
+        cls = (idx // v).astype(jnp.int32) + 1
+        vox = idx % v
+
+        def gather(arr):
+            return jnp.take_along_axis(arr, vox, axis=1)
+
+        r = jnp.take_along_axis(reg, vox[..., None], axis=1)
+        x = gather(vx) + r[..., 0]
+        y = gather(vy) + r[..., 1]
+        boxes = jnp.stack(
+            [
+                x, y, r[..., 2],
+                jnp.exp(r[..., 3]), jnp.exp(r[..., 4]), jnp.exp(r[..., 5]),
+                jnp.arctan2(r[..., 7], r[..., 6]),
+            ],
+            axis=-1,
+        )
+        valid = scores > float(pp.get("SCORE_THRESH", 0.1))
+
+        nms_cfg = pp.NMS_CONFIG
+        def one(bx, sc, lb, vd):
+            sel, keep = nms_bev(
+                bx, sc, float(nms_cfg.NMS_THRESH),
+                pre_max=min(int(nms_cfg.NMS_PRE_MAXSIZE), k),
+                post_max=int(nms_cfg.NMS_POST_MAXSIZE), valid=vd,
+            )
+            return (
+                bx[sel], jnp.where(keep, sc[sel], 0.0),
+                jnp.where(keep, lb[sel], 0), keep,
+            )
+
+        return jax.vmap(one)(boxes, scores, cls, valid)

@@ -1,0 +1,73 @@
+"""VoxelNeXt fully-sparse detector tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfu3d_tpu.core.voxel import VoxelGrid
+from dfu3d_tpu.models import build_network
+from dfu3d_tpu.utils.config import CfgDict
+
+from test_model import CLASS_NAMES, make_batch
+
+
+def vn_cfg():
+    return CfgDict(
+        {
+            "NAME": "VoxelNeXt",
+            "VFE": {"NAME": "MeanVFE"},
+            "BACKBONE_3D": {"NAME": "VoxelResBackBone8xVoxelNeXt",
+                            "CHANNELS": [8, 8, 16, 16, 16], "OUT_CHANNELS": 32},
+            "BEV_CAP": 512,
+            "DENSE_HEAD": {
+                "NAME": "VoxelNeXtHead",
+                "SHARED_CONV_CHANNEL": 32,
+                "NUM_SHARED_BLOCKS": 1,
+                "LOSS_CONFIG": {"LOSS_WEIGHTS": {"cls_weight": 1.0,
+                                                 "loc_weight": 0.25,
+                                                 "code_weights": [1.0] * 8}},
+                "POST_PROCESSING": {
+                    "SCORE_THRESH": 0.0,
+                    "MAX_OBJ_PER_SAMPLE": 64,
+                    "NMS_CONFIG": {"NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.6,
+                                   "NMS_PRE_MAXSIZE": 64,
+                                   "NMS_POST_MAXSIZE": 16},
+                },
+            },
+        }
+    )
+
+
+def vn_grid():
+    return VoxelGrid.create([0, -6.4, -3, 6.4, 6.4, 1], [0.2, 0.2, 0.25])
+
+
+class TestVoxelNeXt:
+    def test_loss_grads_predict(self):
+        model = build_network(vn_cfg(), CLASS_NAMES, vn_grid())
+        batch = make_batch(np.random.RandomState(3), b=2, n=512)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False
+        )
+        (loss, tb), _ = model.apply(variables, batch, train=True,
+                                    mutable=["batch_stats"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+        def loss_fn(params):
+            (l, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return l
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(g)) for g in leaves)
+        assert sum(float(np.abs(g).sum()) for g in leaves) > 0
+
+        boxes, scores, labels, keep = model.apply(
+            variables, batch, method=lambda m, b: m.predict(b)
+        )
+        assert boxes.shape == (2, 16, 7)
+        assert np.all(np.isfinite(np.asarray(boxes)))
+        k = np.asarray(keep)
+        assert np.all(np.asarray(scores)[~k] == 0)
