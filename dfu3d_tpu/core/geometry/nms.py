@@ -188,3 +188,28 @@ def class_specific_nms(box_scores, box_preds, box_labels, nms_thresh_per_class,
     indices = jnp.concatenate([o[2] for o in outs])
     keeps = jnp.concatenate([o[3] for o in outs])
     return scores, labels, indices, keeps
+
+
+@functools.partial(jax.jit, static_argnames=("post_max",))
+def circle_nms(boxes, scores, min_radius, post_max: int, valid=None):
+    """Distance-based circle NMS (reference centernet_utils.circle_nms:100-130,
+    the numba-CUDA kernel): suppress any box whose center lies within
+    min_radius of an already-kept higher-scoring box.
+
+    Returns (indices, keep) like nms_bev.
+    """
+    n = boxes.shape[0]
+    post_max = min(post_max, n)
+    if valid is not None:
+        scores = jnp.where(valid, scores, _NEG_INF)
+    top_scores, order = jax.lax.top_k(scores, n)
+    live = top_scores > _NEG_INF / 2
+    b = boxes[order]
+    d2 = jnp.sum((b[:, None, 0:2] - b[None, :, 0:2]) ** 2, axis=-1)
+    keep = _suppression_scan(
+        jnp.where(d2 < min_radius * min_radius, 1.0, 0.0), live, 0.5
+    )
+    kept_scores = jnp.where(keep, top_scores, _NEG_INF)
+    sel_scores, sel_pos = jax.lax.top_k(kept_scores, post_max)
+    sel_valid = sel_scores > _NEG_INF / 2
+    return jnp.where(sel_valid, order[sel_pos], 0).astype(jnp.int32), sel_valid

@@ -441,3 +441,9 @@ def create_kitti_infos(dataset_cfg, class_names, data_path, save_path,
         if logger:
             logger.info(f"info file saved to {filename} ({len(infos)} frames)")
     return out_paths
+
+
+class KittiKittiDataset(KittiDataset):
+    """Real-KITTI twin (reference: kitti/kittikitti_dataset.py — a
+    near-duplicate of KittiDataset for real-KITTI experiments; here the same
+    class, kept as a registry alias)."""

@@ -288,3 +288,22 @@ class TestNMSFixedPoint:
         kept = sorted(np.asarray(idx)[np.asarray(keep)].tolist())
         # greedy: keep 0, suppress 1, keep 2, ... (IoU(0,1)=1/3>0.3, IoU(0,2)=0)
         assert kept == list(range(0, n, 2))
+
+
+class TestCircleNMS:
+    def test_distance_suppression(self):
+        from dfu3d_tpu.core.geometry.nms import circle_nms
+
+        boxes = jnp.array(
+            [
+                [0.0, 0, 0, 1, 1, 1, 0],
+                [0.5, 0, 0, 1, 1, 1, 0],   # within radius of 0
+                [10.0, 0, 0, 1, 1, 1, 0],
+                [10.5, 0.5, 0, 1, 1, 1, 0],  # within radius of 2
+                [30.0, 0, 0, 1, 1, 1, 0],
+            ]
+        )
+        scores = jnp.array([0.9, 0.8, 0.85, 0.7, 0.6])
+        idx, keep = circle_nms(boxes, scores, min_radius=1.0, post_max=5)
+        kept = set(np.asarray(idx)[np.asarray(keep)].tolist())
+        assert kept == {0, 2, 4}
