@@ -151,6 +151,7 @@ class CenterPoint(nn.Module):
 from .pointpillar import PointPillar, SECONDNet  # noqa: E402
 from .pointrcnn import PointRCNN  # noqa: E402
 from .voxelnext import VoxelNeXt  # noqa: E402
+from .parta2 import PartA2Net  # noqa: E402
 
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
@@ -158,6 +159,7 @@ __all_detectors__ = {
     "SECONDNet": SECONDNet,
     "PointRCNN": PointRCNN,
     "VoxelNeXt": VoxelNeXt,
+    "PartA2Net": PartA2Net,
 }
 
 
