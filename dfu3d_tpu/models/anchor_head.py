@@ -199,12 +199,17 @@ def assign_targets_single_class(anchors, gt_boxes, gt_mask, gt_classes,
 # ---------------------------------------------------------------------------
 
 class AnchorHeadSingle(nn.Module):
-    """1×1 conv heads over BEV features (anchor_head_single.py:10-74)."""
+    """1×1 conv heads over BEV features (anchor_head_single.py:10-74).
+
+    `use_iou_head` adds a per-anchor IoU regression output (the SECONDNetIoU
+    variant, detectors/second_net_iou.py: predicted IoU rectifies scores at
+    inference)."""
 
     num_class: int
     num_anchors_per_location: int
     use_direction_classifier: bool = True
     num_dir_bins: int = 2
+    use_iou_head: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -225,6 +230,10 @@ class AnchorHeadSingle(nn.Module):
         }
         if self.use_direction_classifier:
             out["dir_cls_preds"] = conv(a * self.num_dir_bins, name="conv_dir_cls")(
+                spatial_features_2d
+            ).astype(jnp.float32)
+        if self.use_iou_head:
+            out["iou_preds"] = conv(a, name="conv_iou")(
                 spatial_features_2d
             ).astype(jnp.float32)
         return out

@@ -149,6 +149,18 @@ class CenterPoint(nn.Module):
 
 
 from .pointpillar import PointPillar, SECONDNet  # noqa: E402
+
+
+class SECONDNetIoU(SECONDNet):
+    """SECOND + per-anchor IoU head with score rectification (reference:
+    detectors/second_net_iou.py). Enabled by forcing USE_IOU_HEAD in the
+    dense-head config."""
+
+    @property
+    def cfg(self):
+        c = super().cfg
+        c.DENSE_HEAD["USE_IOU_HEAD"] = True
+        return c
 from .pointrcnn import PointRCNN  # noqa: E402
 from .voxelnext import VoxelNeXt  # noqa: E402
 from .parta2 import PartA2Net  # noqa: E402
@@ -160,6 +172,7 @@ __all_detectors__ = {
     "PointRCNN": PointRCNN,
     "VoxelNeXt": VoxelNeXt,
     "PartA2Net": PartA2Net,
+    "SECONDNetIoU": SECONDNetIoU,
 }
 
 

@@ -63,6 +63,7 @@ class AnchorDetectorBase(nn.Module):
             num_anchors_per_location=sum(counts),
             use_direction_classifier=dh.get("USE_DIRECTION_CLASSIFIER", True),
             num_dir_bins=dh.get("NUM_DIR_BINS", 2),
+            use_iou_head=dh.get("USE_IOU_HEAD", False),
             dtype=self.dtype,
         )
 
@@ -115,7 +116,7 @@ class AnchorDetectorBase(nn.Module):
         targets = self.assign_targets(batch.gt_boxes, batch.gt_valid)
         cfg = self.cfg
         lw = cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
-        return anchor_head_loss(
+        total, tb = anchor_head_loss(
             preds, targets, jnp.asarray(self._anchors_flat),
             len(self.class_names),
             {
@@ -127,6 +128,32 @@ class AnchorDetectorBase(nn.Module):
             dir_offset=cfg.DENSE_HEAD.get("DIR_OFFSET", 0.78539),
             num_dir_bins=cfg.DENSE_HEAD.get("NUM_DIR_BINS", 2),
         )
+        if "iou_preds" in preds:
+            # SECONDNetIoU: L1 between predicted and actual IoU3D of decoded
+            # positive boxes vs their matched gt (second_net_iou semantics)
+            from ..core.geometry.iou import aligned_iou3d
+            from .anchor_head import decode_boxes
+
+            b = preds["iou_preds"].shape[0]
+            iou_p = preds["iou_preds"].reshape(b, -1)
+            boxes = decode_boxes(
+                preds["box_preds"].reshape(b, -1, 7),
+                jnp.asarray(self._anchors_flat)[None],
+            )
+            pos = targets.box_cls_labels > 0
+            matched = decode_boxes(
+                targets.box_reg_targets, jnp.asarray(self._anchors_flat)[None]
+            )
+            actual = jax.vmap(aligned_iou3d)(
+                jax.lax.stop_gradient(boxes), matched
+            )
+            w = pos.astype(jnp.float32)
+            w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+            iou_loss = jnp.sum(jnp.abs(jnp.tanh(iou_p) - actual) * w) / b
+            total = total + iou_loss
+            tb["iou_loss"] = iou_loss
+            tb["rpn_loss"] = total
+        return total, tb
 
     def predict(self, batch):
         """Class-agnostic NMS post-processing (detector3d_template.
@@ -145,6 +172,14 @@ class AnchorDetectorBase(nn.Module):
         post_max = int(nms_cfg.NMS_POST_MAXSIZE)
 
         max_scores = jnp.max(cls_scores, axis=-1)
+        if "iou_preds" in preds and pp.get("USE_IOU_TO_RECTIFY_SCORE", True):
+            # score rectification: score^(1-w) * iou^w (second_net_iou.py)
+            b = preds["iou_preds"].shape[0]
+            iou = jnp.clip(jnp.tanh(preds["iou_preds"].reshape(b, -1)), 0.0, 1.0)
+            w = float(pp.get("IOU_RECTIFIER", 0.68))
+            max_scores = jnp.power(max_scores, 1 - w) * jnp.power(
+                jnp.maximum(iou, 1e-4), w
+            )
         labels = jnp.argmax(cls_scores, axis=-1).astype(jnp.int32) + 1
 
         def one_frame(bx, sc, lb):

