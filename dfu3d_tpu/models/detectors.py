@@ -164,6 +164,7 @@ class SECONDNetIoU(SECONDNet):
 from .pointrcnn import PointRCNN  # noqa: E402
 from .voxelnext import VoxelNeXt  # noqa: E402
 from .parta2 import PartA2Net  # noqa: E402
+from .pvrcnn import PVRCNN  # noqa: E402
 
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
@@ -173,6 +174,7 @@ __all_detectors__ = {
     "VoxelNeXt": VoxelNeXt,
     "PartA2Net": PartA2Net,
     "SECONDNetIoU": SECONDNetIoU,
+    "PVRCNN": PVRCNN,
 }
 
 

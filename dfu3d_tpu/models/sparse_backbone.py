@@ -274,3 +274,44 @@ def height_compression(st: SparseTensor):
     )
     dense = dense.reshape(b, g.nz, g.ny, g.nx, c)
     return dense.transpose(0, 2, 3, 1, 4).reshape(b, g.ny, g.nx, g.nz * c)
+
+
+class SparseEncoder(nn.Module):
+    """VoxelBackBone8x stage layout, returning per-stage tensors (for UNet
+    decoders and PV-RCNN's VoxelSetAbstraction)."""
+
+    grid: SparseGrid
+    voxel_cap: int
+    channels: Sequence[int] = (16, 16, 32, 64, 64)
+    out_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, coords, valid, train: bool):
+        """Returns (bev_st, [s1, s2, s4, s8]) with s_k at stride k."""
+        cap = self.voxel_cap
+        st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
+        st = SparseConvBlock(self.channels[0], dtype=self.dtype, name="conv_in")(st, train)
+        s1 = SparseConvBlock(self.channels[1], dtype=self.dtype, name="conv1")(st, train)
+
+        def down(st, ch, cap, name):
+            st = SparseConv3dDown(ch, out_cap=cap, dtype=self.dtype, name=name)(st)
+            st = SparseConvBlock(ch, dtype=self.dtype, name=f"{name}_refine")(st, train)
+            return st
+
+        s2 = down(s1, self.channels[2], max(cap // 2, 16), "down2")
+        s4 = down(s2, self.channels[3], max(cap // 4, 16), "down3")
+        s8 = down(s4, self.channels[4], max(cap // 8, 16), "down4")
+        bev_st = SparseConv3dDown(
+            self.out_channels, out_cap=max(cap // 8, 16), z_only=True,
+            dtype=self.dtype, name="conv_out",
+        )(s8)
+        return bev_st, [s1, s2, s4, s8]
+
+
+def voxel_centers_of(st: SparseTensor, base_grid_size, point_cloud_range,
+                     base_voxel_size, stride: int):
+    """World-frame centers of a sparse tensor's voxels at the given stride."""
+    pcr = jnp.asarray(point_cloud_range, jnp.float32)
+    vs = jnp.asarray(base_voxel_size, jnp.float32) * stride
+    return (st.coords.astype(jnp.float32) + 0.5) * vs + pcr[0:3]
