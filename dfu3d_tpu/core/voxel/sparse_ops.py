@@ -55,6 +55,47 @@ def build_lookup(grid: SparseGrid, coords, valid):
     return lin[order], order
 
 
+# Grids up to this many cells use the dense cell→slot map (int32, so
+# 4·num_cells bytes of transient HBM per batch element); larger grids fall
+# back to unrolled binary search. 2^27 cells = 537 MB — comfortably inside a
+# v5e's 16 GB for the B≤4 stage-1 grids this framework targets.
+DENSE_MAP_MAX_CELLS = 1 << 27
+
+
+def build_cell_map(grid: SparseGrid, coords, valid):
+    """Dense cell→slot map: (num_cells + 1,) int32, -1 where empty.
+
+    One scatter instead of a sort; lookups become one gather. This is the
+    TPU-native replacement for spconv's GPU hash table (reference
+    pcdet/ops/.../spconv hash lookups): random scatters/gathers of 4-byte
+    slots beat searchsorted's 17-deep dependent-gather binary search by ~100×
+    on TPU (measured round 2: 596 ms → ~5 ms for a 60k-voxel 27-point
+    neighbor table).
+    """
+    v = coords.shape[0]
+    lin = linearize(grid, coords, valid)  # invalid → num_cells (spill slot)
+    cmap = jnp.full((grid.num_cells + 1,), -1, jnp.int32)
+    return cmap.at[lin].set(jnp.arange(v, dtype=jnp.int32), mode="drop")
+
+
+def find_neighbors_via_map(grid: SparseGrid, query_coords, query_valid,
+                           cell_map, v: int, offsets):
+    """Dense-map twin of `find_neighbors`: (Q, K) indices, sentinel = v."""
+    off = jnp.asarray(offsets, jnp.int32)
+    q = query_coords[:, None, :] + off[None, :, :]
+    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
+    ok = (
+        query_valid[:, None]
+        & (qx >= 0) & (qx < grid.nx)
+        & (qy >= 0) & (qy < grid.ny)
+        & (qz >= 0) & (qz < grid.nz)
+    )
+    qlin = jnp.where(ok, (qz * grid.ny + qy) * grid.nx + qx, grid.num_cells)
+    idx = jnp.take(cell_map, qlin.reshape(-1), axis=0).reshape(qlin.shape)
+    # the spill slot may hold a (invalid-voxel) index — mask by `ok` as well
+    return jnp.where(ok & (idx >= 0), idx, v).astype(jnp.int32)
+
+
 def find_neighbors(grid: SparseGrid, query_coords, query_valid, sorted_lin,
                    order, offsets):
     """For each query voxel and each offset, the index of the voxel at
@@ -82,6 +123,37 @@ def find_neighbors(grid: SparseGrid, query_coords, query_valid, sorted_lin,
     found = (jnp.take(sorted_lin, pos) == qlin) & (qlin < grid.num_cells)
     idx = jnp.take(order, pos)
     return jnp.where(found, idx, v).astype(jnp.int32)
+
+
+def transpose_down_neighbors(down_grid: SparseGrid, in_coords, in_valid,
+                             out_cmap, q_cap: int, offsets, z_only=False):
+    """Transpose neighbor table of a stride-2 sparse conv.
+
+    tnbr[p, k] = the output slot q whose kernel tap k reads input p, i.e.
+    center(q) + offsets[k] == in_coords[p] (sentinel q_cap where the implied
+    center has odd parity, is out of grid, or is not an active output).
+    center(q) = 2·out_coord (xyz stride) or (x, y, 2·z) (z_only). Used by the
+    gather-only backward of the strided conv (models/sparse_backbone.py).
+    """
+    off = jnp.asarray(offsets, jnp.int32)  # (K, 3)
+    t = in_coords[:, None, :] - off[None, :, :]  # (V, K, 3) implied centers
+    if z_only:
+        par_ok = (t[..., 2] % 2) == 0
+        qc = jnp.stack([t[..., 0], t[..., 1], t[..., 2] // 2], axis=-1)
+    else:
+        par_ok = jnp.all((t % 2) == 0, axis=-1)
+        qc = t // 2
+    qx, qy, qz = qc[..., 0], qc[..., 1], qc[..., 2]
+    ok = (
+        in_valid[:, None] & par_ok
+        & (qx >= 0) & (qx < down_grid.nx)
+        & (qy >= 0) & (qy < down_grid.ny)
+        & (qz >= 0) & (qz < down_grid.nz)
+    )
+    qlin = jnp.where(ok, (qz * down_grid.ny + qy) * down_grid.nx + qx,
+                     down_grid.num_cells)
+    idx = jnp.take(out_cmap, qlin.reshape(-1), axis=0).reshape(qlin.shape)
+    return jnp.where(ok & (idx >= 0), idx, q_cap).astype(jnp.int32)
 
 
 def kernel_offsets(kx: int, ky: int, kz: int) -> np.ndarray:

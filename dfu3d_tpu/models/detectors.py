@@ -178,7 +178,14 @@ __all_detectors__ = {
 }
 
 
-def build_network(model_cfg, class_names, grid: VoxelGrid, dtype=jnp.float32):
-    """Mirror of the reference build_network surface (models/__init__.py:16-20)."""
+def build_network(model_cfg, class_names, grid: VoxelGrid, dtype=jnp.float32,
+                  **overrides):
+    """Mirror of the reference build_network surface (models/__init__.py:16-20).
+
+    `overrides` are extra dataclass fields of the detector (e.g. max_voxels,
+    the static per-frame voxel capacity — reference MAX_NUMBER_OF_VOXELS,
+    transform_points_to_voxels in data_processor.py:133).
+    """
     cls = __all_detectors__[model_cfg.NAME]
-    return cls(model_cfg=model_cfg, class_names=class_names, grid=grid, dtype=dtype)
+    return cls(model_cfg=model_cfg, class_names=class_names, grid=grid,
+               dtype=dtype, **overrides)

@@ -90,7 +90,7 @@ class SparseUNet(nn.Module):
         s1 = SparseConvBlock(self.channels[1], dtype=self.dtype, name="conv1")(st, train)
 
         def down(st, ch, cap, name):
-            st = SparseConv3dDown(ch, out_cap=cap, dtype=self.dtype, name=name)(st)
+            st = SparseConv3dDown(ch, out_cap=cap, dtype=self.dtype, name=name)(st, train=train)
             x = nn.relu(
                 SparseConvBlock(ch, dtype=self.dtype, name=f"{name}_refine")(
                     st, train
@@ -108,7 +108,7 @@ class SparseUNet(nn.Module):
         bev_st = SparseConv3dDown(
             self.out_channels, out_cap=max(cap // 8, 16), z_only=True,
             dtype=self.dtype, name="conv_out",
-        )(s4)
+        )(s4, train=train)
 
         # decoder: 8 → 4 → 2 → 1
         def up(coarse, skip, ch, name):

@@ -129,8 +129,8 @@ class VoxelNeXt(nn.Module):
             batch.points, batch.points_valid
         )
         st8 = self.backbone_3d(feats, coords, valid, train)
-        st16 = self.down16(st8)
-        st32 = self.down32(st16)
+        st16 = self.down16(st8, train=train)
+        st32 = self.down32(st16, train=train)
         # map coarser voxels back onto the stride-8 grid and concatenate sets
         coords16 = jnp.concatenate(
             [st16.coords[..., 0:2] * 2, st16.coords[..., 2:3]], axis=-1

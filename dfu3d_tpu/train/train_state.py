@@ -26,10 +26,16 @@ class TrainState(NamedTuple):
 
 def create_train_state(model, example_batch, tx, rng=None):
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(
-        {"params": rng}, example_batch, train=False,
-        method=lambda m, b, train: m._features(b, train),
+    # jit the init: un-jitted flax init executes every traced op eagerly,
+    # one dispatch per primitive — minutes instead of seconds for the sparse
+    # backbones on a tunneled chip.
+    init = jax.jit(
+        lambda r, b: model.init(
+            {"params": r}, b, train=False,
+            method=lambda m, bb, train: m._features(bb, train),
+        )
     )
+    variables = init(rng, example_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(

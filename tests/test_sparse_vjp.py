@@ -1,0 +1,136 @@
+"""Custom-VJP correctness: gather-only backwards == autodiff of the plain op.
+
+subm_gather_gemm relies on the centrosymmetry of kernel_offsets and
+down_gather_gemm on the transpose_down_neighbors table; both must produce
+exactly the gradients XLA derives for the unadorned _gather_gemm.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfu3d_tpu.core.voxel.sparse_ops import (
+    SparseGrid,
+    kernel_offsets,
+    transpose_down_neighbors,
+)
+from dfu3d_tpu.models.sparse_backbone import (
+    _batched_cell_map,
+    _batched_neighbors,
+    _gather_gemm,
+    down_gather_gemm,
+    subm_gather_gemm,
+)
+
+
+def _random_sparse(rng, b, v, grid, n_valid):
+    coords = np.stack([
+        rng.randint(0, grid.nx, (b, v)),
+        rng.randint(0, grid.ny, (b, v)),
+        rng.randint(0, grid.nz, (b, v)),
+    ], axis=-1).astype(np.int32)
+    # dedupe within each element so the cell map is a bijection
+    for i in range(b):
+        lin = (coords[i, :, 2] * grid.ny + coords[i, :, 1]) * grid.nx + coords[i, :, 0]
+        _, first = np.unique(lin, return_index=True)
+        mask = np.zeros(v, bool)
+        mask[first] = True
+        coords[i, ~mask] = 0  # duplicates collapse; mark invalid below
+        valid_i = mask
+        if i == 0:
+            valid = np.zeros((b, v), bool)
+        valid[i] = valid_i
+    valid[:, n_valid:] = False
+    return jnp.asarray(coords), jnp.asarray(valid)
+
+
+class TestSubmVJP:
+    def test_grads_match_autodiff(self):
+        rng = np.random.RandomState(0)
+        b, v, cin, cout = 2, 96, 5, 7
+        grid = SparseGrid(12, 10, 6)
+        coords, valid = _random_sparse(rng, b, v, grid, 80)
+        offsets = kernel_offsets(3, 3, 3)
+        nbr = _batched_neighbors(grid, coords, valid, coords, valid, offsets)
+        feats = jnp.asarray(rng.randn(b, v, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+        cot = jnp.asarray(rng.randn(b, v, cout).astype(np.float32))
+
+        def loss_ref(f, k):
+            return jnp.sum(_gather_gemm(f, valid, nbr, k) * cot)
+
+        def loss_new(f, k):
+            return jnp.sum(subm_gather_gemm(f, valid, nbr, k) * cot)
+
+        gf_ref, gk_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+        gf_new, gk_new = jax.grad(loss_new, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gf_new), np.asarray(gf_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk_new), np.asarray(gk_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_forward_identical(self):
+        rng = np.random.RandomState(1)
+        b, v = 1, 64
+        grid = SparseGrid(8, 8, 8)
+        coords, valid = _random_sparse(rng, b, v, grid, 50)
+        offsets = kernel_offsets(3, 3, 3)
+        nbr = _batched_neighbors(grid, coords, valid, coords, valid, offsets)
+        feats = jnp.asarray(rng.randn(b, v, 4).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, 4, 6).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(subm_gather_gemm(feats, valid, nbr, w)),
+            np.asarray(_gather_gemm(feats, valid, nbr, w)),
+        )
+
+
+class TestDownVJP:
+    @pytest.mark.parametrize("z_only", [False, True])
+    def test_grads_match_autodiff(self, z_only):
+        rng = np.random.RandomState(2)
+        b, v, cin, cout = 2, 96, 4, 6
+        grid = SparseGrid(12, 10, 6)
+        down = grid.down_z() if z_only else grid.down()
+        coords, valid = _random_sparse(rng, b, v, grid, 80)
+
+        from dfu3d_tpu.core.voxel.sparse_ops import downsample_coords
+
+        q_cap = 64
+        out_coords, out_valid, _ = jax.vmap(
+            lambda c, m: downsample_coords(down, c, m, q_cap, z_only=z_only)
+        )(coords, valid)
+        if z_only:
+            centers = jnp.stack(
+                [out_coords[..., 0], out_coords[..., 1], out_coords[..., 2] * 2],
+                axis=-1,
+            )
+            offsets = kernel_offsets(1, 1, 3)
+        else:
+            centers = out_coords * 2
+            offsets = kernel_offsets(3, 3, 3)
+        nbr = _batched_neighbors(grid, centers, out_valid, coords, valid, offsets)
+        out_cmap = _batched_cell_map(down, out_coords, out_valid)
+        tnbr = jax.vmap(
+            lambda ic, iv, m: transpose_down_neighbors(
+                down, ic, iv, m, q_cap, offsets, z_only=z_only)
+        )(coords, valid, out_cmap)
+
+        feats = jnp.asarray(rng.randn(b, v, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(len(offsets), cin, cout).astype(np.float32) * 0.1)
+        cot = jnp.asarray(rng.randn(b, q_cap, cout).astype(np.float32))
+        # the layer masks its output by out_valid — grads arriving for invalid
+        # outputs are zero; bake that into the cotangent like the real model
+        cot = jnp.where(out_valid[..., None], cot, 0.0)
+
+        def loss_ref(f, k):
+            return jnp.sum(_gather_gemm(f, valid, nbr, k) * cot)
+
+        def loss_new(f, k):
+            return jnp.sum(down_gather_gemm(f, valid, nbr, tnbr, k) * cot)
+
+        gf_ref, gk_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+        gf_new, gk_new = jax.grad(loss_new, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gf_new), np.asarray(gf_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk_new), np.asarray(gk_ref),
+                                   rtol=1e-5, atol=1e-5)
