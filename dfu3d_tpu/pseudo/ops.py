@@ -233,6 +233,49 @@ def rectangle_search(x, y, valid, dtheta_deg: float = 1.0):
     return corners, thetas[best]
 
 
+def top_cluster_masks(labels, valid, num_clusters: int, min_pts: int):
+    """Select the `num_clusters` largest clusters as boolean masks.
+
+    Args:
+        labels: (P,) int cluster labels in [0, P] (P = invalid sentinel).
+    Returns:
+        sel (num_clusters, P) bool, counts (num_clusters,) int32 — clusters
+        ordered by size desc; undersized clusters (< min_pts) have sel=False.
+    """
+    p = labels.shape[0]
+    ones = valid.astype(jnp.int32)
+    counts = jax.ops.segment_sum(ones, labels, num_segments=p + 1)
+    counts = counts.at[p].set(0)
+    top_counts, top_labels = jax.lax.top_k(counts, num_clusters)
+    sel = labels[None, :] == top_labels[:, None]
+    big_enough = top_counts >= min_pts
+    sel = sel & valid[None, :] & big_enough[:, None]
+    return sel, jnp.where(big_enough, top_counts, 0)
+
+
+def instance_boxes(points, valid, is_car, num_clusters: int, min_pts: int):
+    """Cluster one instance's points and L-shape-fit each cluster.
+
+    The vmappable composition of connected_components → top_cluster_masks →
+    rectangle_search → box_from_corners (the reference's GenerateAnns inner
+    loop, my_loader.py:633-684, as one fixed-shape program).
+
+    Returns boxes (C, 7), ok (C,), counts (C,).
+    """
+    labels = connected_components(points, valid)
+    sel, counts = top_cluster_masks(labels, valid, num_clusters, min_pts)
+
+    def one_cluster(mask):
+        corners, _theta = rectangle_search(points[:, 0], points[:, 1], mask)
+        max_z = jnp.max(jnp.where(mask, points[:, 2], -_BIG))
+        box, ok = box_from_corners(corners, max_z, is_car)
+        return box, ok
+
+    boxes, oks = jax.vmap(one_cluster)(sel)
+    oks = oks & (counts >= min_pts)
+    return boxes, oks, counts
+
+
 def box_from_corners(corners, max_z, object_class_is_car):
     """Assemble a lidar box from rectangle corners (GenerateAnns semantics,
     my_loader.py:633-684):
