@@ -189,3 +189,23 @@ class TestGolden:
             pytest.skip("golden file created — rerun to verify")
         want = json.loads(GOLDEN.read_text())
         assert got == want
+
+    def test_matches_reference_protocol(self):
+        """Bit-for-bit AP parity with the REFERENCE's eval_class /
+        get_thresholds / AP interpolation (SURVEY §7.3 item 5).
+
+        The golden was produced by running the reference's
+        kitti_object_eval_python/eval.py (numba stubbed to identity, overlaps
+        injected from this repo's independently-tested rotated IoU) on these
+        exact annos — tools/dev/make_reference_eval_golden.py regenerates it.
+        """
+        ref_golden = GOLDEN.parent / "kitti_eval_reference_golden.json"
+        gt_annos, dt_annos = self._make_case()
+        _, ret = kitti_eval.get_official_eval_result(
+            gt_annos, dt_annos, ["Car", "Pedestrian"]
+        )
+        got = {k: round(float(v), 6) for k, v in ret.items()}
+        want = json.loads(ref_golden.read_text())
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
