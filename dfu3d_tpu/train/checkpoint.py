@@ -61,8 +61,29 @@ def save_checkpoint(ckpt_dir, state: TrainState, epoch: int,
 
 
 def load_checkpoint(path, template: Optional[TrainState] = None) -> Tuple[TrainState, int]:
-    """Load one checkpoint; with a template, restores exact array types."""
+    """Load one checkpoint; with a template, restores exact array types.
+
+    Torch checkpoints (.pth / .pth.tar — the reference's public ckpt format,
+    train_utils.py:221-254) are converted on the fly via train.torch_convert
+    (flagship CenterPoint-pillar key mapping; partial strict=False overlay).
+    """
     path = Path(path)
+    if path.suffix == ".pth" or path.name.endswith(".pth.tar"):
+        assert template is not None, "torch ckpt load needs a state template"
+        from .torch_convert import convert_state_dict
+
+        variables = {"params": template.params,
+                     "batch_stats": template.batch_stats}
+        new_vars, report = convert_state_dict(variables, path)
+        n_conv = len(report["converted"])
+        assert n_conv > 0, "no keys converted — wrong model for this mapping?"
+        from flax.core import freeze
+
+        state = template._replace(
+            params=freeze(new_vars["params"]) if hasattr(template.params, "unfreeze") else new_vars["params"],
+            batch_stats=freeze(new_vars["batch_stats"]) if hasattr(template.batch_stats, "unfreeze") else new_vars["batch_stats"],
+        )
+        return state, 0
     if template is not None:
         item = {"state": jax.device_get(template)._asdict(), "epoch": 0}
         restored = _checkpointer().restore(path.absolute(), item=item)

@@ -1,0 +1,215 @@
+"""Torch (OpenPCDet) checkpoint → flax variables converter.
+
+The reference's public checkpoint contract is a pickle of
+{'model_state': OrderedDict[str, Tensor], 'epoch', 'it', 'optimizer_state',
+'version'} with module-path keys (reference detector3d_template.py:329-414,
+train_utils.py:221-254). This module maps those keys onto this framework's
+flax param/batch_stats trees so released OpenPCDet/DFU3D weights can be
+evaluated here (the AP-parity comparison path, SURVEY §7.4 artifacts).
+
+Layout transforms (validated numerically against torch layers in
+tests/test_torch_convert.py):
+    Conv2d            OIHW → HWIO            transpose(2, 3, 1, 0)
+    ConvTranspose2d   IOHW → flip-HW → HWIO  w[:, :, ::-1, ::-1].T(2, 3, 0, 1)
+    Linear            OI → IO                transpose(1, 0)
+    BatchNorm         weight/bias → scale/bias; running_mean/var → batch_stats
+    spconv SubMConv3d (Cout, kz, ky, kx, Cin) [spconv 2.x] → (K, Cin, Cout)
+                      with K ordered like core.voxel.sparse_ops.kernel_offsets
+                      (x slowest, z fastest); spconv 1.x (kz, ky, kx, Cin,
+                      Cout) is adapted first (the reference's own 1.x→2.x
+                      shim, detector3d_template.py:329-358).
+
+Only keys present in both trees are converted; a report of unmatched keys is
+returned so partial loads (pretrained overlays, strict=False semantics) work
+like the reference's load_params_from_file.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+__all__ = [
+    "load_torch_checkpoint",
+    "convert_state_dict",
+    "centerpoint_pillar_mapping",
+    "apply_mapping",
+]
+
+
+def load_torch_checkpoint(path) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint file → {key: np.ndarray} of its model_state."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model_state", ckpt)
+    return {k: v.detach().cpu().numpy() for k, v in state.items()
+            if hasattr(v, "detach")}
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def t_conv2d(w):
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def t_convtranspose2d(w):
+    return np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+
+
+def t_linear(w):
+    return np.ascontiguousarray(w.transpose(1, 0))
+
+
+def t_identity(w):
+    return np.asarray(w)
+
+
+def t_spconv(w):
+    """spconv weight → (K, Cin, Cout) in kernel_offsets order.
+
+    spconv 2.x native layout: (Cout, kz, ky, kx, Cin); 1.x: (kz, ky, kx, Cin,
+    Cout). kernel_offsets(kx, ky, kz) enumerates x slowest / z fastest with
+    each axis running −1..1, i.e. K index = (ix·ky + iy)·kz + iz — matching a
+    (kx, ky, kz) reshape — so transpose spconv's (kz, ky, kx) to (kx, ky, kz)
+    before flattening.
+    """
+    if w.ndim != 5:
+        raise ValueError(f"not a sparse conv weight: shape {w.shape}")
+    if w.shape[0] not in (w.shape[1], w.shape[2]) and w.shape[-1] < w.shape[0]:
+        # heuristic for 2.x (Cout leading): move Cout last → (kz,ky,kx,Cin,Cout)
+        w = np.moveaxis(w, 0, -1)
+    kz, ky, kx, cin, cout = w.shape
+    w = w.transpose(2, 1, 0, 3, 4)  # (kx, ky, kz, Cin, Cout)
+    return np.ascontiguousarray(w.reshape(kx * ky * kz, cin, cout))
+
+
+# ---------------------------------------------------------------------------
+# mapping construction
+# ---------------------------------------------------------------------------
+
+def _bn(mapping, ours, ref):
+    mapping[("params",) + ours + ("scale",)] = (f"{ref}.weight", t_identity)
+    mapping[("params",) + ours + ("bias",)] = (f"{ref}.bias", t_identity)
+    mapping[("batch_stats",) + ours + ("mean",)] = (f"{ref}.running_mean", t_identity)
+    mapping[("batch_stats",) + ours + ("var",)] = (f"{ref}.running_var", t_identity)
+
+
+def _conv(mapping, ours, ref, bias=False, transform=t_conv2d):
+    mapping[("params",) + ours + ("kernel",)] = (f"{ref}.weight", transform)
+    if bias:
+        mapping[("params",) + ours + ("bias",)] = (f"{ref}.bias", t_identity)
+
+
+def centerpoint_pillar_mapping(layer_nums=(3, 5, 5), num_heads=6,
+                               num_pfn=2) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for the flagship CenterPoint-pillar (DynamicPillarVFE +
+    BaseBEVBackbone + CenterHead; reference centerpoint_nuscenes2kitti.yaml).
+
+    Keys: ours (collection, *module path, leaf) → (torch key, transform).
+    """
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    for i in range(num_pfn):
+        m[("params", "vfe", f"pfn_{i}", "Dense_0", "kernel")] = (
+            f"vfe.pfn_layers.{i}.linear.weight", t_linear)
+        _bn(m, ("vfe", f"pfn_{i}", "MaskedBatchNorm_0"),
+            f"vfe.pfn_layers.{i}.norm")
+
+    # BaseBEVBackbone: reference blocks.{i} = [ZeroPad, Conv(stride), BN,
+    # ReLU, (Conv, BN, ReLU) × layer_nums[i]]; deblocks.{i} = [ConvT|Conv,
+    # BN, ReLU] (base_bev_backbone.py:26-79)
+    for i, n in enumerate(layer_nums):
+        _conv(m, ("backbone_2d", f"block{i}_down", "Conv_0"),
+              f"backbone_2d.blocks.{i}.1")
+        _bn(m, ("backbone_2d", f"block{i}_down", "BatchNorm_0"),
+            f"backbone_2d.blocks.{i}.2")
+        for j in range(n):
+            _conv(m, ("backbone_2d", f"block{i}_conv{j}", "Conv_0"),
+                  f"backbone_2d.blocks.{i}.{4 + 3 * j}")
+            _bn(m, ("backbone_2d", f"block{i}_conv{j}", "BatchNorm_0"),
+                f"backbone_2d.blocks.{i}.{5 + 3 * j}")
+        # deblock: ConvTranspose for upsample stride > 1, Conv for < 1
+        m[("params", "backbone_2d", f"deblock{i}", "ConvTranspose_0", "kernel")] = (
+            f"backbone_2d.deblocks.{i}.0.weight", t_convtranspose2d)
+        m[("params", "backbone_2d", f"deblock{i}", "Conv_0", "kernel")] = (
+            f"backbone_2d.deblocks.{i}.0.weight", t_conv2d)
+        _bn(m, ("backbone_2d", f"deblock{i}", "BatchNorm_0"),
+            f"backbone_2d.deblocks.{i}.1")
+
+    _conv(m, ("dense_head", "shared_conv", "layers_0"),
+          "dense_head.shared_conv.0", bias=True)
+    _bn(m, ("dense_head", "shared_bn"), "dense_head.shared_conv.1")
+    for k in range(num_heads):
+        for name in ("hm", "center", "center_z", "dim", "rot"):
+            _conv(m, ("dense_head", f"head_{k}", f"{name}_conv0"),
+                  f"dense_head.heads_list.{k}.{name}.0.0", bias=True)
+            _bn(m, ("dense_head", f"head_{k}", f"{name}_bn0"),
+                f"dense_head.heads_list.{k}.{name}.0.1")
+            _conv(m, ("dense_head", f"head_{k}", f"{name}_out"),
+                  f"dense_head.heads_list.{k}.{name}.1", bias=True)
+    return m
+
+
+def apply_mapping(variables, state: Dict[str, np.ndarray],
+                  mapping: Dict[Tuple, Tuple[str, Callable]]):
+    """Overlay torch weights onto a flax variables tree.
+
+    Returns (new_variables, report) where report lists converted /
+    missing-in-torch / unmatched-ours keys (strict=False semantics,
+    reference detector3d_template.py:360-383).
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)
+    paths = {}
+    for path, leaf in flat[0]:
+        key = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        paths[key] = leaf
+
+    new = {k: v for k, v in paths.items()}
+    converted, missing = [], []
+    for ours, (ref_key, transform) in mapping.items():
+        if ours not in paths:
+            continue  # mapping covers alternatives (deblock Conv vs ConvT)
+        if ref_key not in state:
+            missing.append(ref_key)
+            continue
+        w = transform(state[ref_key])
+        tgt = paths[ours]
+        if tuple(w.shape) != tuple(tgt.shape):
+            raise ValueError(
+                f"shape mismatch for {ours} ← {ref_key}: "
+                f"{w.shape} vs {tgt.shape}"
+            )
+        new[ours] = w.astype(np.asarray(tgt).dtype)
+        converted.append(ref_key)
+
+    unmatched_ours = [k for k in paths if k not in mapping]
+
+    # rebuild the nested tree
+    def unflatten(flat_dict):
+        tree = {}
+        for key, leaf in flat_dict.items():
+            node = tree
+            for part in key[:-1]:
+                node = node.setdefault(part, {})
+            node[key[-1]] = leaf
+        return tree
+
+    report = {
+        "converted": converted,
+        "missing_in_torch": missing,
+        "unmatched_ours": unmatched_ours,
+    }
+    return unflatten(new), report
+
+
+def convert_state_dict(variables, ckpt_path, mapping=None):
+    """One-call convenience: torch ckpt file + flax variables → variables."""
+    state = load_torch_checkpoint(ckpt_path)
+    mapping = mapping or centerpoint_pillar_mapping()
+    return apply_mapping(variables, state, mapping)

@@ -1,0 +1,215 @@
+"""Torch→flax checkpoint converter: numerical equality against torch layers.
+
+Builds torch modules mirroring the reference architecture (BaseBEVBackbone
+block layout, SeparateHead stacks — standard OpenPCDet structures), runs them
+on random input, converts their state_dict with the documented transforms,
+and asserts our flax modules produce identical outputs (eval mode, fp32).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from dfu3d_tpu.train import torch_convert as tc
+
+
+def _sync_bn_torch(bn):
+    with torch.no_grad():
+        bn.weight.copy_(torch.randn_like(bn.weight) * 0.2 + 1.0)
+        bn.bias.copy_(torch.randn_like(bn.bias) * 0.1)
+        bn.running_mean.copy_(torch.randn_like(bn.running_mean) * 0.5)
+        bn.running_var.copy_(torch.rand_like(bn.running_var) + 0.5)
+
+
+class TestLayerTransforms:
+    def test_conv2d(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 10, 12, 6).astype(np.float32)
+        conv = torch.nn.Conv2d(6, 8, 3, stride=2, padding=1, bias=False)
+        with torch.no_grad():
+            out_t = conv(torch.tensor(x.transpose(0, 3, 1, 2)))
+        out_t = out_t.numpy().transpose(0, 2, 3, 1)
+        import flax.linen as nn
+        m = nn.Conv(8, (3, 3), strides=(2, 2), padding=1, use_bias=False)
+        out_j = m.apply(
+            {"params": {"kernel": jnp.asarray(tc.t_conv2d(conv.weight.detach().numpy()))}},
+            jnp.asarray(x),
+        )
+        np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=1e-5, atol=1e-5)
+
+    def test_convtranspose2d(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(1, 8, 8, 16).astype(np.float32)
+        convt = torch.nn.ConvTranspose2d(16, 24, 2, stride=2, bias=False)
+        with torch.no_grad():
+            out_t = convt(torch.tensor(x.transpose(0, 3, 1, 2)))
+        out_t = out_t.numpy().transpose(0, 2, 3, 1)
+        import flax.linen as nn
+        m = nn.ConvTranspose(24, (2, 2), strides=(2, 2), padding="SAME",
+                             use_bias=False)
+        out_j = m.apply(
+            {"params": {"kernel": jnp.asarray(
+                tc.t_convtranspose2d(convt.weight.detach().numpy()))}},
+            jnp.asarray(x),
+        )
+        np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=1e-5, atol=1e-5)
+
+    def test_linear_and_bn(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(40, 10).astype(np.float32)
+        lin = torch.nn.Linear(10, 32, bias=False)
+        bn = torch.nn.BatchNorm1d(32, eps=1e-3, momentum=0.01)
+        _sync_bn_torch(bn)
+        bn.eval()
+        with torch.no_grad():
+            out_t = bn(lin(torch.tensor(x))).numpy()
+
+        from dfu3d_tpu.models.vfe import MaskedBatchNorm
+        kernel = tc.t_linear(lin.weight.detach().numpy())
+        y = np.asarray(jnp.asarray(x) @ jnp.asarray(kernel))
+        mbn = MaskedBatchNorm()
+        variables = {
+            "params": {"scale": jnp.asarray(bn.weight.detach().numpy()),
+                       "bias": jnp.asarray(bn.bias.detach().numpy())},
+            "batch_stats": {"mean": jnp.asarray(bn.running_mean.numpy()),
+                            "var": jnp.asarray(bn.running_var.numpy())},
+        }
+        out_j = mbn.apply(variables, jnp.asarray(y), jnp.ones(40, bool), False)
+        np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=1e-4, atol=1e-4)
+
+    def test_spconv_layout(self):
+        # spconv 2.x (Cout, kz, ky, kx, Cin): offset (ix, iy, iz) must land at
+        # K index (ix*ky + iy)*kz + iz (kernel_offsets order)
+        kz = ky = kx = 3
+        cin, cout = 2, 4
+        w = np.zeros((cout, kz, ky, kx, cin), np.float32)
+        w[:, 0, 1, 2, :] = 7.0  # iz=0, iy=1, ix=2
+        out = tc.t_spconv(w)
+        k_index = (2 * ky + 1) * kz + 0
+        assert out.shape == (27, cin, cout)
+        assert np.all(out[k_index] == 7.0)
+        mask = np.ones(27, bool)
+        mask[k_index] = False
+        assert np.all(out[mask] == 0.0)
+
+
+class TestBEVBackboneEquality:
+    """Full-module equality: torch replica of the reference BaseBEVBackbone
+    (blocks = ZeroPad+Conv+BN+ReLU + n×(Conv+BN+ReLU); deblocks) vs ours."""
+
+    def _torch_backbone(self, layer_nums, strides, filters, up_strides,
+                        up_filters, c_in):
+        blocks, deblocks = torch.nn.ModuleList(), torch.nn.ModuleList()
+        cin = c_in
+        for i, n in enumerate(layer_nums):
+            layers = [
+                torch.nn.ZeroPad2d(1),
+                torch.nn.Conv2d(cin, filters[i], 3, stride=strides[i], bias=False),
+                torch.nn.BatchNorm2d(filters[i], eps=1e-3, momentum=0.01),
+                torch.nn.ReLU(),
+            ]
+            for _ in range(n):
+                layers += [
+                    torch.nn.Conv2d(filters[i], filters[i], 3, padding=1, bias=False),
+                    torch.nn.BatchNorm2d(filters[i], eps=1e-3, momentum=0.01),
+                    torch.nn.ReLU(),
+                ]
+            blocks.append(torch.nn.Sequential(*layers))
+            cin = filters[i]
+            s = up_strides[i]
+            if s >= 1:
+                up = torch.nn.ConvTranspose2d(filters[i], up_filters[i],
+                                              int(s), stride=int(s), bias=False)
+            else:
+                k = int(round(1 / s))
+                up = torch.nn.Conv2d(filters[i], up_filters[i], k, stride=k,
+                                     bias=False)
+            deblocks.append(torch.nn.Sequential(
+                up, torch.nn.BatchNorm2d(up_filters[i], eps=1e-3, momentum=0.01),
+                torch.nn.ReLU(),
+            ))
+        return blocks, deblocks
+
+    def test_forward_equality(self):
+        torch.manual_seed(0)
+        layer_nums, strides = [3, 5, 5], [2, 2, 2]
+        filters, up_strides, up_filters = [64, 128, 256], [0.5, 1, 2], [128, 128, 128]
+        blocks, deblocks = self._torch_backbone(
+            layer_nums, strides, filters, up_strides, up_filters, 64)
+        for m in list(blocks.modules()) + list(deblocks.modules()):
+            if isinstance(m, (torch.nn.BatchNorm2d,)):
+                _sync_bn_torch(m)
+        blocks.eval(), deblocks.eval()
+
+        rng = np.random.RandomState(3)
+        x = rng.randn(1, 64, 64, 64).astype(np.float32)  # NHWC (H=W=64)
+        with torch.no_grad():
+            t = torch.tensor(x.transpose(0, 3, 1, 2))
+            ups = []
+            for i in range(len(layer_nums)):
+                t = blocks[i](t)
+                ups.append(deblocks[i](t))
+            out_t = torch.cat(ups, dim=1).numpy().transpose(0, 2, 3, 1)
+
+        # torch state_dict with reference-style key prefix
+        state = {}
+        for i in range(len(layer_nums)):
+            for k, v in blocks[i].state_dict().items():
+                state[f"backbone_2d.blocks.{i}.{k}"] = v.numpy()
+            for k, v in deblocks[i].state_dict().items():
+                state[f"backbone_2d.deblocks.{i}.{k}"] = v.numpy()
+
+        from dfu3d_tpu.models.backbone_2d import BaseBEVBackbone
+
+        model = BaseBEVBackbone(
+            layer_nums=layer_nums, layer_strides=strides, num_filters=filters,
+            upsample_strides=up_strides, num_upsample_filters=up_filters,
+        )
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+        mapping = {
+            k: v for k, v in tc.centerpoint_pillar_mapping(
+                layer_nums=layer_nums).items()
+            if k[1] == "backbone_2d"
+        }
+        # our tree root here has no 'backbone_2d' prefix — rebase the mapping
+        mapping = {
+            (k[0],) + k[2:]: v for k, v in mapping.items()
+        }
+        new_vars, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"][:4]
+        out_j = model.apply(
+            {"params": new_vars["params"], "batch_stats": new_vars["batch_stats"]},
+            jnp.asarray(x), False,
+        )
+        np.testing.assert_allclose(np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4)
+
+
+class TestFlagshipMappingCoverage:
+    def test_all_flagship_params_mapped(self):
+        """Every param/stat of the flagship CenterPoint-pillar has a mapping
+        entry (no silently-unconverted weights)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from __graft_entry__ import _flagship, _synthetic_batch
+
+        cfg, grid, model = _flagship(dtype=jnp.float32, tiny=True)
+        batch = _synthetic_batch(1, 1024, 16, 12.0)
+        variables = jax.eval_shape(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0)}, batch, train=False,
+                method=lambda m, b, train: m._features(b, train),
+            )
+        )
+        mapping = tc.centerpoint_pillar_mapping()
+        flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+        unmapped = []
+        for path, _ in flat:
+            key = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+            if key not in mapping:
+                unmapped.append(key)
+        assert not unmapped, unmapped[:8]
