@@ -99,3 +99,56 @@ def three_interpolate(features, idx, dist):
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     gathered = jnp.take(features, idx, axis=0)  # (M, 3, C)
     return jnp.sum(gathered * w[..., None], axis=1)
+
+
+def vector_pool(queries, q_valid, xyz, xyz_valid, feats, radius: float,
+                nsample: int, bins=(3, 3, 3)):
+    """VectorPool aggregation (SURVEY §2.1 N5: pointnet2_stack
+    vector_pool_gpu.cu:485 / voxel_pool_modules.py:131, PV-RCNN++).
+
+    Each query owns a local cube of half-extent `radius` split into
+    bins=(nx, ny, nz) sub-voxels; support points gathered by ball query are
+    averaged PER SUB-VOXEL (position-sensitive, unlike max-pool SA), and the
+    output is the flattened per-bin [mean Δxyz, mean features] vector — the
+    caller's MLP mixes it (the reference's separate_local_aggregation with
+    avg pooling).
+
+    Args:
+        queries: (M, 3); xyz: (N, 3); feats: (N, C) or None.
+    Returns:
+        (M, nx·ny·nz·(3+C)) float32, (M,) has_neighbor.
+    """
+    nx, ny, nz = bins
+    nbins = nx * ny * nz
+    idx, has = ball_query(radius, nsample, xyz, xyz_valid, queries, q_valid)
+    grouped_xyz = jnp.take(xyz, idx, axis=0) - queries[:, None, :]  # (M, S, 3)
+    # slot occupancy: ball_query pads empty slots with the first neighbor —
+    # mask slots beyond the true count
+    d2 = jnp.sum(grouped_xyz**2, axis=-1)
+    slot_ok = (d2 <= radius * radius) & has[:, None]
+    # first-neighbor padding duplicates slot 0; keep only one copy per dup run
+    first_dup = jnp.concatenate(
+        [jnp.ones_like(idx[:, :1], bool), idx[:, 1:] != idx[:, :1]], axis=1
+    )
+    slot_ok = slot_ok & (first_dup | (jnp.arange(idx.shape[1])[None, :] == 0))
+
+    rel = (grouped_xyz + radius) / (2.0 * radius)  # [0, 1]
+    bx = jnp.clip((rel[..., 0] * nx).astype(jnp.int32), 0, nx - 1)
+    by = jnp.clip((rel[..., 1] * ny).astype(jnp.int32), 0, ny - 1)
+    bz = jnp.clip((rel[..., 2] * nz).astype(jnp.int32), 0, nz - 1)
+    bin_id = (bx * ny + by) * nz + bz  # (M, S)
+    onehot = jax.nn.one_hot(
+        jnp.where(slot_ok, bin_id, nbins), nbins, dtype=jnp.float32
+    )  # (M, S, nbins)
+
+    if feats is not None:
+        payload = jnp.concatenate(
+            [grouped_xyz, jnp.take(feats, idx, axis=0).astype(jnp.float32)],
+            axis=-1,
+        )
+    else:
+        payload = grouped_xyz
+    sums = jnp.einsum("msb,msc->mbc", onehot, payload)
+    counts = jnp.sum(onehot, axis=1)  # (M, nbins)
+    means = sums / jnp.maximum(counts[..., None], 1.0)
+    return means.reshape(queries.shape[0], -1), has

@@ -164,7 +164,8 @@ class SECONDNetIoU(SECONDNet):
 from .pointrcnn import PointRCNN  # noqa: E402
 from .voxelnext import VoxelNeXt  # noqa: E402
 from .parta2 import PartA2Net  # noqa: E402
-from .pvrcnn import PVRCNN  # noqa: E402
+from .pvrcnn import PVRCNN, PVRCNNPlusPlus  # noqa: E402
+from .voxelrcnn import VoxelRCNN  # noqa: E402
 
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
@@ -175,6 +176,8 @@ __all_detectors__ = {
     "PartA2Net": PartA2Net,
     "SECONDNetIoU": SECONDNetIoU,
     "PVRCNN": PVRCNN,
+    "PVRCNNPlusPlus": PVRCNNPlusPlus,
+    "VoxelRCNN": VoxelRCNN,
 }
 
 
