@@ -1,14 +1,18 @@
-"""Benchmark: CenterPoint train samples/sec/chip on the flagship config.
+"""Benchmark: CenterPoint train samples/sec/chip + SECOND sparse path + MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
-measured against this repo's own recorded first benchmark (bench_baseline.json,
-written on first run) — later rounds show speedup over round 1.
+measured against this repo's own pinned first benchmark (bench_baseline.json,
+recorded round 1 = 517 samples/s); later rounds show speedup over round 1.
 
-Methodology: the batch lives on device (host transfer overlaps compute in real
-training), state buffers are donated, and we take the best of several trials —
-the axon-tunneled chip shows large run-to-run variance, so best-of is the
-stable estimator of achievable throughput.
+Methodology: batches live on device (host transfer overlaps compute in real
+training), state buffers are donated, and 25-step chained loops are timed.
+The axon-tunneled chip shows large run-to-run variance (~2.5×), so BOTH the
+best and the median of the trials are reported; `value` is the best (the
+achievable-throughput estimator), `median_value` bounds the variance story.
+`mfu_pct` is XLA's own cost-analysis flops for the compiled step divided by
+wall time and the v5e bf16 peak (197 TFLOP/s) — a roofline sanity figure, not
+a marketing number (the flagship step is scatter/BW-bound, not MXU-bound).
 """
 import json
 import time
@@ -17,9 +21,27 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_FILE = Path(__file__).parent / "bench_baseline.json"
+V5E_BF16_PEAK = 197e12
 
 
-def main():
+def _time_step(step, state, batch, trials=4, iters=25):
+    import jax
+
+    state, metrics = step(state, batch)
+    # device_get, NOT block_until_ready: the axon tunnel's block_until_ready
+    # returns early; fetching the scalar is the only reliable fence
+    jax.device_get(metrics["loss"])
+    times = []
+    for _ in range(trials):
+        t0 = time.time()
+        for _ in range(iters):
+            state, metrics = step(state, batch)
+        jax.device_get(metrics["loss"])
+        times.append((time.time() - t0) / iters)
+    return min(times), float(np.median(times)), state
+
+
+def bench_flagship():
     import jax
     import jax.numpy as jnp
 
@@ -32,38 +54,74 @@ def main():
     batch = jax.device_put(_synthetic_batch(B, N, M, 50.0))
     tx, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=1000)
     state = create_train_state(model, batch, tx)
+    step_fn = make_train_step(model, tx)
+    lowered = jax.jit(step_fn, donate_argnums=0).lower(state, batch)
+    compiled = lowered.compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+    step = jax.jit(step_fn, donate_argnums=0)
+    best, median, _ = _time_step(step, state, batch)
+    return B / best, B / median, flops / best if np.isfinite(flops) else None
+
+
+def bench_second():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from dfu3d_tpu.core.voxel import VoxelGrid
+    from dfu3d_tpu.models import build_network
+    from dfu3d_tpu.train import build_optimizer, create_train_state
+    from dfu3d_tpu.train.train_state import make_train_step
+    from dfu3d_tpu.utils.config import CfgDict, cfg_from_yaml_file
+
+    cfg = CfgDict()
+    cfg_from_yaml_file(
+        Path(__file__).parent / "tools/cfgs/kitti_models/second.yaml", cfg
+    )
+    grid = VoxelGrid.create(cfg.DATA_CONFIG.POINT_CLOUD_RANGE, [0.05, 0.05, 0.1])
+    model = build_network(cfg.MODEL, cfg.CLASS_NAMES, grid,
+                          dtype=jnp.bfloat16, max_voxels=60000)
+    B = 2
+    batch = jax.device_put(_synthetic_batch(B, 120000, 128, 60.0))
+    tx, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=1000)
+    state = create_train_state(model, batch, tx)
     step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    best, median, _ = _time_step(step, state, batch, trials=2, iters=8)
+    return best, median
 
-    # warmup/compile
-    state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
 
-    trials, iters = 4, 25
-    best_dt = float("inf")
-    for _ in range(trials):
-        t0 = time.time()
-        for _ in range(iters):
-            state, metrics = step(state, batch)
-        jax.block_until_ready(metrics["loss"])
-        best_dt = min(best_dt, (time.time() - t0) / iters)
-    samples_per_sec = B / best_dt
+def main():
+    sps_best, sps_median, flops_per_sec = bench_flagship()
+    try:
+        sec_best, sec_median = bench_second()
+    except Exception:
+        sec_best = sec_median = None
 
     if BASELINE_FILE.exists():
         baseline = json.loads(BASELINE_FILE.read_text())["samples_per_sec"]
     else:
-        baseline = samples_per_sec
-        BASELINE_FILE.write_text(json.dumps({"samples_per_sec": samples_per_sec}))
+        baseline = sps_best
+        BASELINE_FILE.write_text(json.dumps({"samples_per_sec": sps_best}))
 
-    print(
-        json.dumps(
-            {
-                "metric": "centerpoint_train_samples_per_sec_per_chip",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / baseline, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "centerpoint_train_samples_per_sec_per_chip",
+        "value": round(sps_best, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(sps_best / baseline, 3),
+        "median_value": round(sps_median, 2),
+        "second_60kvox_ms_per_step_best": (
+            round(sec_best * 1e3, 1) if sec_best else None
+        ),
+        "second_60kvox_ms_per_step_median": (
+            round(sec_median * 1e3, 1) if sec_median else None
+        ),
+    }
+    if flops_per_sec:
+        out["mfu_pct"] = round(100 * flops_per_sec / V5E_BF16_PEAK, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -3,12 +3,14 @@ nuscenes_dataset.py) — devkit-free, built on the raw-table reader
 (nuscenes_tables.py).
 
 Covers: info generation from the raw JSON tables (boxes in the nuScenes lidar
-frame + per-class counts), class-balanced epoch resampling (:66-106), minimum-
-radius point filtering, and KITTI-style AP evaluation (the reference's
-`kitti` EVAL_METRIC alternative via kitti_utils; the devkit `NuScenesEval`
-path requires the nuscenes devkit and is intentionally out-of-process here).
-Sweep accumulation is single-sweep for now (MAX_SWEEPS=1), matching the
-DFU3D conversion path (README.md:64 "only using a single sweep").
+frame + per-class counts, per-sample lidar→global transforms, multi-sweep
+entries with sweep→key-frame transforms and time lags), class-balanced epoch
+resampling (:66-106), minimum-radius point filtering, MAX_SWEEPS>1 sweep
+accumulation with a trailing time-lag point channel (reference
+get_lidar_with_sweeps, nuscenes_dataset.py:256-300), KITTI-style AP
+evaluation (the reference's `kitti` EVAL_METRIC alternative via kitti_utils),
+and the official nuScenes results.json writer for out-of-process devkit
+NuScenesEval (run in-process when the devkit is importable).
 """
 from __future__ import annotations
 
@@ -29,10 +31,48 @@ DEFAULT_MAP = {
 }
 
 
+def _sweep_entries(nusc, sd_ref, max_sweeps):
+    """Up to max_sweeps−1 previous sweeps with their sweep→ref transforms
+    (reference nuscenes_utils.get_sweeps/obtain_sensor2top semantics)."""
+    from .nuscenes_tables import Quaternion, transform_matrix
+
+    cs_ref = nusc.get("calibrated_sensor", sd_ref["calibrated_sensor_token"])
+    pose_ref = nusc.get("ego_pose", sd_ref["ego_pose_token"])
+    ref_from_car = transform_matrix(
+        cs_ref["translation"], Quaternion(wxyz=cs_ref["rotation"]), inverse=True
+    )
+    car_from_global = transform_matrix(
+        pose_ref["translation"], Quaternion(wxyz=pose_ref["rotation"]),
+        inverse=True,
+    )
+    sweeps = []
+    sd = sd_ref
+    while len(sweeps) < max_sweeps - 1 and sd.get("prev"):
+        sd = nusc.get("sample_data", sd["prev"])
+        cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
+        pose = nusc.get("ego_pose", sd["ego_pose_token"])
+        global_from_car = transform_matrix(
+            pose["translation"], Quaternion(wxyz=pose["rotation"])
+        )
+        car_from_sensor = transform_matrix(
+            cs["translation"], Quaternion(wxyz=cs["rotation"])
+        )
+        sweep2ref = (
+            ref_from_car @ car_from_global @ global_from_car @ car_from_sensor
+        )
+        sweeps.append({
+            "lidar_path": sd["filename"],
+            "transform": sweep2ref.astype(np.float32),
+            "time_lag": (sd_ref["timestamp"] - sd["timestamp"]) * 1e-6,
+        })
+    return sweeps
+
+
 def create_nuscenes_infos(dataroot, version="v1.0-trainval", max_sweeps=1,
                           save_path=None, logger=None):
     """Info pkl from raw tables (reference nuscenes_utils.fill_trainval_infos
-    semantics, single-sweep)."""
+    semantics; max_sweeps > 1 records previous-sweep paths + sweep→key-frame
+    transforms + time lags, nuscenes_dataset.py:256-300)."""
     from .nuscenes_tables import (
         NuScenesTables,
         Quaternion,
@@ -63,10 +103,20 @@ def create_nuscenes_infos(dataroot, version="v1.0-trainval", max_sweeps=1,
             # KITTI-style capitalized names (reference kitti_utils
             # map_name_to_kitti) so the KITTI-protocol evaluator applies
             names.append(DEFAULT_MAP.get(det, det.capitalize()))
+        from .nuscenes_tables import transform_matrix as _tm
+
+        cs = nusc.get("calibrated_sensor", sd_lid["calibrated_sensor_token"])
+        pose = nusc.get("ego_pose", sd_lid["ego_pose_token"])
+        lidar2global = (
+            _tm(pose["translation"], Quaternion(wxyz=pose["rotation"]))
+            @ _tm(cs["translation"], Quaternion(wxyz=cs["rotation"]))
+        ).astype(np.float32)
         infos.append(
             {
                 "token": sample["token"],
                 "lidar_path": sd_lid["filename"],
+                "lidar2global": lidar2global,
+                "sweeps": _sweep_entries(nusc, sd_lid, max_sweeps),
                 "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 7),
                 "gt_names": np.asarray(names),
                 "num_lidar_pts": np.asarray(
@@ -131,18 +181,40 @@ class NuScenesDataset(DatasetTemplate):
             return len(self.infos) * max(self.total_epochs, 1)
         return len(self.infos)
 
-    def __getitem__(self, index):
+    def _load_points(self, info):
+        """Key-frame points (+ accumulated sweeps when MAX_SWEEPS > 1, with a
+        trailing time-lag channel — reference get_lidar_with_sweeps)."""
         from .nuscenes_tables import read_nuscenes_lidar
 
+        radius = float(self.dataset_cfg.get("MIN_POINT_RADIUS", 1.0))
+        max_sweeps = int(self.dataset_cfg.get("MAX_SWEEPS", 1))
+
+        def load_one(path, transform=None, time_lag=0.0):
+            pts = read_nuscenes_lidar(self.root_path / path)
+            pts = pts[np.linalg.norm(pts[:, 0:2], axis=1) > radius]
+            if transform is not None:
+                xyz1 = np.concatenate(
+                    [pts[:, :3], np.ones((len(pts), 1), np.float32)], axis=1
+                )
+                pts[:, :3] = (xyz1 @ np.asarray(transform, np.float32).T)[:, :3]
+            if max_sweeps > 1:
+                pts = np.concatenate(
+                    [pts, np.full((len(pts), 1), time_lag, np.float32)], axis=1
+                )
+            return pts
+
+        parts = [load_one(info["lidar_path"])]
+        for sw in info.get("sweeps", [])[: max_sweeps - 1]:
+            parts.append(
+                load_one(sw["lidar_path"], sw["transform"], sw["time_lag"])
+            )
+        return np.concatenate(parts, axis=0)
+
+    def __getitem__(self, index):
         if self._merge_all_iters_to_one_epoch:
             index = index % len(self.infos)
         info = self.infos[index]
-        points = read_nuscenes_lidar(self.root_path / info["lidar_path"])
-
-        # minimum-radius self-returns filter (reference :37-45)
-        radius = float(self.dataset_cfg.get("MIN_POINT_RADIUS", 1.0))
-        keep = np.linalg.norm(points[:, 0:2], axis=1) > radius
-        points = points[keep]
+        points = self._load_points(info)
 
         input_dict = {
             "frame_id": info["token"],
@@ -178,10 +250,93 @@ class NuScenesDataset(DatasetTemplate):
             )
         return annos
 
+    # default attribute per detection class (devkit eval convention)
+    _DEFAULT_ATTR = {
+        "car": "vehicle.parked", "truck": "vehicle.parked",
+        "bus": "vehicle.moving", "trailer": "vehicle.parked",
+        "construction_vehicle": "vehicle.parked",
+        "pedestrian": "pedestrian.standing", "motorcycle": "cycle.without_rider",
+        "bicycle": "cycle.without_rider", "barrier": "", "traffic_cone": "",
+    }
+
+    def write_nuscenes_results_json(self, det_annos, output_path):
+        """Official nuScenes detection results.json (out-of-process devkit
+        eval contract, like the SEEM/depth artifacts): boxes converted
+        lidar→global via the per-sample lidar2global recorded in infos.
+        Evaluate with the devkit where installed:
+            python -m nuscenes.eval.detection.evaluate \
+                --result_path results.json --eval_set val ...
+        (reference nuscenes_dataset.py:256-300 / nuscenes_utils.py:588).
+        """
+        import json
+
+        from .nuscenes_tables import Quaternion
+
+        inv_map = {v: k for k, v in DEFAULT_MAP.items()}
+        by_token = {info["token"]: info for info in self.infos}
+        results = {}
+        for anno in det_annos:
+            token = anno["frame_id"]
+            info = by_token.get(token)
+            tf = np.asarray(
+                info.get("lidar2global", np.eye(4)) if info else np.eye(4),
+                np.float64,
+            )
+            dets = []
+            boxes = np.asarray(anno["boxes_lidar"], np.float64)
+            for j in range(len(boxes)):
+                b = boxes[j]
+                center = tf[:3, :3] @ b[:3] + tf[:3, 3]
+                yaw = b[6]
+                rot = tf[:3, :3] @ np.array(
+                    [[np.cos(yaw), -np.sin(yaw), 0],
+                     [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+                )
+                q = Quaternion(matrix=rot).q  # (w, x, y, z)
+                name = inv_map.get(str(anno["name"][j]),
+                                   str(anno["name"][j]).lower())
+                dets.append({
+                    "sample_token": token,
+                    "translation": center.tolist(),
+                    "size": [float(b[4]), float(b[3]), float(b[5])],  # w, l, h
+                    "rotation": [float(v) for v in q],
+                    "velocity": [0.0, 0.0],
+                    "detection_name": name,
+                    "detection_score": float(anno["score"][j]),
+                    "attribute_name": self._DEFAULT_ATTR.get(name, ""),
+                })
+            results[token] = dets
+        payload = {
+            "meta": {"use_camera": False, "use_lidar": True, "use_radar": False,
+                     "use_map": False, "use_external": False},
+            "results": results,
+        }
+        output_path = Path(output_path)
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+        output_path.write_text(json.dumps(payload))
+        return output_path
+
     def evaluation(self, det_annos, class_names, **kwargs):
         """KITTI-style AP over lidar boxes (the reference's `kitti`
-        EVAL_METRIC alternative; the devkit NuScenesEval needs the external
-        nuscenes package)."""
+        EVAL_METRIC alternative). EVAL_METRIC='nuscenes' additionally writes
+        the official results.json and, when the nuscenes devkit is importable,
+        runs NuScenesEval in-process; otherwise the json + command are
+        reported for out-of-process evaluation."""
+        if kwargs.get("eval_metric") == "nuscenes" or (
+            self.dataset_cfg.get("EVAL_METRIC") == "nuscenes"
+        ):
+            out = Path(kwargs.get("output_path", self.root_path)) / "results_nusc.json"
+            self.write_nuscenes_results_json(det_annos, out)
+            try:
+                from nuscenes import NuScenes  # noqa: F401 (optional devkit)
+                from nuscenes.eval.detection.evaluate import NuScenesEval  # noqa
+            except ImportError:
+                return (
+                    f"nuScenes results written to {out}; install the nuscenes "
+                    "devkit and run nuscenes.eval.detection.evaluate on it "
+                    "(devkit not available in this environment)",
+                    {"results_json": str(out)},
+                )
         from ..eval import kitti_eval
 
         def to_kitti(boxes, names, scores=None):

@@ -71,7 +71,8 @@ class PFNLayer(nn.Module):
         x = nn.relu(x)
         x = jnp.where(point_mask[:, None], x, 0.0)
         x_f32 = x.astype(jnp.float32)
-        x_max = jax.ops.segment_max(x_f32, seg_ids, num_segments=num_segments)
+        x_max = jax.ops.segment_max(x_f32, seg_ids, num_segments=num_segments,
+                                    indices_are_sorted=True)
         x_max = jnp.where(jnp.isfinite(x_max), x_max, 0.0).astype(self.dtype)
         if self.last_layer:
             return x, x_max
@@ -88,6 +89,9 @@ class DynPillarVFE(nn.Module):
     use_norm: bool = True
     use_absolute_xyz: bool = True
     with_distance: bool = False
+    # static per-sample pillar capacity (reference MAX_NUMBER_OF_VOXELS);
+    # pillars beyond it drop, like the reference's voxel truncation
+    max_pillars: int = 32768
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -114,14 +118,39 @@ class DynPillarVFE(nn.Module):
 
         cells = ny * nx
         batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
-        seg = jnp.where(ok, batch_idx * cells + coords[:, 1] * nx + coords[:, 0], b * cells)
-        num_segments = b * cells
+        cell_id = jnp.where(
+            ok, batch_idx * cells + coords[:, 1] * nx + coords[:, 0], b * cells
+        )
+
+        # Compact pillar slots: TPU scatters into a small table are ~8× faster
+        # than into the dense (B·cells) grid (measured round 2: 6.5 ms vs
+        # 51 ms for the 240k-point segment_max), so one cheap argsort (4 ms)
+        # buys compacted segment ids for every reduction; only the final
+        # per-pillar feature lands in the dense grid (one bf16 scatter-set).
+        order = jnp.argsort(cell_id)
+        sorted_ids = jnp.take(cell_id, order)
+        flat = jnp.take(flat, order, axis=0)
+        coords = jnp.take(coords, order, axis=0)
+        ok = jnp.take(ok, order)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+        ) & (sorted_ids < b * cells)
+        pillar_cap = b * self.max_pillars
+        seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        seg = jnp.where(ok & (seg < pillar_cap), seg, pillar_cap)
+        num_segments = pillar_cap
+        # each pillar's dense cell (sentinel b·cells for overflow/invalid)
+        pillar_cell = (
+            jnp.full((pillar_cap + 1,), b * cells, jnp.int32)
+            .at[seg]
+            .set(jnp.where(ok, sorted_ids, b * cells), mode="drop")
+        )[:pillar_cap]
 
         xyz = flat[:, 0:3].astype(jnp.float32)
         ones = jnp.where(ok, 1.0, 0.0)
         sums = jax.ops.segment_sum(
             jnp.concatenate([xyz * ones[:, None], ones[:, None]], axis=-1),
-            seg, num_segments=num_segments,
+            seg, num_segments=num_segments, indices_are_sorted=True,
         )
         counts = jnp.maximum(sums[:, 3:4], 1.0)
         means = sums[:, 0:3] / counts
@@ -150,5 +179,13 @@ class DynPillarVFE(nn.Module):
                 dtype=self.dtype, name=f"pfn_{i}",
             )(feats, ok, seg, num_segments, train)
 
-        # x_max is already the dense BEV grid: (B*cells, C) → (B, ny, nx, C)
-        return x_max.reshape(b, ny, nx, self.num_filters[-1])
+        # scatter pillar features into the dense BEV grid (PointPillarScatter,
+        # pointpillar_scatter.py:5) — one compute-dtype scatter-set; sentinel
+        # cells (overflow pillars) drop
+        cout = self.num_filters[-1]
+        dense = (
+            jnp.zeros((b * cells + 1, cout), x_max.dtype)
+            .at[pillar_cell]
+            .set(x_max, mode="drop")
+        )[: b * cells]
+        return dense.reshape(b, ny, nx, cout)

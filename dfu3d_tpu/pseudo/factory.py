@@ -109,11 +109,14 @@ def _plane_and_above(pad_lidar, pad_valid, key):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_clusters", "min_pts", "ball_gate_c")
+    jax.jit,
+    static_argnames=("num_clusters", "min_pts", "ball_gate_c", "ground_z",
+                     "z_offset"),
 )
 def _frame_kernel(obj_lidar, obj_lidar_valid, obj_pseudo, obj_pseudo_valid,
                   radius, is_car, num_clusters: int, min_pts: int,
-                  ball_gate_c: float):
+                  ball_gate_c: float, ground_z: float = 0.0,
+                  z_offset: float = 1.5):
     """All K instances of a frame in ONE device program (vmapped over K).
 
     Stages per instance (reference my_loader.py:547-605 + GenerateAnns):
@@ -142,7 +145,8 @@ def _frame_kernel(obj_lidar, obj_lidar_valid, obj_pseudo, obj_pseudo_valid,
         keep_c = jnp.take(keep, order[:p])
         n_obj = jnp.sum(keep)
         boxes, ok, counts = ops.instance_boxes(
-            pts_c, keep_c, car, num_clusters, min_pts
+            pts_c, keep_c, car, num_clusters, min_pts,
+            ground_z=ground_z, z_offset=z_offset,
         )
         ok = ok & (n_obj >= min_pts)
         return boxes, ok, counts, n_obj
@@ -162,6 +166,8 @@ class PseudoBoxFactory:
                  elevation_polar_min: float = 1.5,
                  ball_gate_c: float = 0.1,
                  max_instances: int = 16,
+                 ground_z: float = 0.0,
+                 z_offset: float = 1.5,
                  seed: int = 0):
         self.thing_classes = list(thing_classes or NUSCENES_CLASSES)
         self.max_pts = max_points_per_instance
@@ -174,6 +180,10 @@ class PseudoBoxFactory:
         # keep the max_instances highest-scoring ones (fixed shapes keep the
         # device program un-retraced across frames)
         self.max_instances = max_instances
+        # box z/height ground assumptions (reference GenerateAnns hardcodes
+        # ground_z=0 / z_offset=1.5 for nuScenes-kitti; see ops.box_from_corners)
+        self.ground_z = float(ground_z)
+        self.z_offset = float(z_offset)
         self.key = jax.random.PRNGKey(seed)
 
     # -- stage helpers (host-side orchestration, device kernels inside) --
@@ -303,6 +313,8 @@ class PseudoBoxFactory:
                     num_clusters=self.max_clusters,
                     min_pts=self.min_cluster_points,
                     ball_gate_c=self.ball_gate_c,
+                    ground_z=self.ground_z,
+                    z_offset=self.z_offset,
                 )
             )
             for slot, k in enumerate(inst_order):

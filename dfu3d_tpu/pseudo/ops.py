@@ -253,7 +253,8 @@ def top_cluster_masks(labels, valid, num_clusters: int, min_pts: int):
     return sel, jnp.where(big_enough, top_counts, 0)
 
 
-def instance_boxes(points, valid, is_car, num_clusters: int, min_pts: int):
+def instance_boxes(points, valid, is_car, num_clusters: int, min_pts: int,
+                   ground_z: float = 0.0, z_offset: float = 1.5):
     """Cluster one instance's points and L-shape-fit each cluster.
 
     The vmappable composition of connected_components → top_cluster_masks →
@@ -268,7 +269,8 @@ def instance_boxes(points, valid, is_car, num_clusters: int, min_pts: int):
     def one_cluster(mask):
         corners, _theta = rectangle_search(points[:, 0], points[:, 1], mask)
         max_z = jnp.max(jnp.where(mask, points[:, 2], -_BIG))
-        box, ok = box_from_corners(corners, max_z, is_car)
+        box, ok = box_from_corners(corners, max_z, is_car,
+                                   ground_z=ground_z, z_offset=z_offset)
         return box, ok
 
     boxes, oks = jax.vmap(one_cluster)(sel)
@@ -276,12 +278,17 @@ def instance_boxes(points, valid, is_car, num_clusters: int, min_pts: int):
     return boxes, oks, counts
 
 
-def box_from_corners(corners, max_z, object_class_is_car):
+def box_from_corners(corners, max_z, object_class_is_car,
+                     ground_z: float = 0.0, z_offset: float = 1.5):
     """Assemble a lidar box from rectangle corners (GenerateAnns semantics,
     my_loader.py:633-684):
 
-    center = (c0 + c2)/2; z = max_z/2 − 1.5; h = max_z; l/w from edges;
-    heading from the longer-edge slope; Car aspect > 5 rejected.
+    center = (c0 + c2)/2; z = (max_z + ground_z)/2 − z_offset;
+    h = max_z − ground_z; l/w from edges; heading from the longer-edge slope;
+    Car aspect > 5 rejected. The (ground_z=0, z_offset=1.5) defaults are the
+    reference's literal hardcoded ground assumptions (center_z = max_z/2 −
+    1.5, height = max_z) — set ground_z to the scene's ground elevation for
+    data whose lidar frame differs from nuScenes-kitti's.
     Returns (box (7,), ok flag); box heading is the LIDAR heading
     (GenerateAnns' `rotation` is camera ry = −heading − π/2).
     """
@@ -296,8 +303,8 @@ def box_from_corners(corners, max_z, object_class_is_car):
     slope_den = jnp.where(use_l1, c3[0] - c0[0], c1[0] - c0[0]) + 1e-8
     rotation_cam = -jnp.arctan(slope_num / slope_den) - np.pi / 2
     heading = -(rotation_cam + np.pi / 2)  # lidar heading
-    center_z = max_z / 2.0 - 1.5
-    height = max_z
+    center_z = (max_z + ground_z) / 2.0 - z_offset
+    height = max_z - ground_z
     aspect = jnp.maximum(l1, l2) / jnp.maximum(jnp.minimum(l1, l2), 1e-6)
     ok = jnp.where(object_class_is_car, aspect <= 5.0, True)
     box = jnp.stack(

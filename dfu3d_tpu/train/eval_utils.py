@@ -100,6 +100,15 @@ def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
     result_str, result_dict = dataset.evaluation(det_annos, class_names)
     if logger:
         logger.info(result_str)
+        # machine-readable AP line for scripting (self-evolution drivers,
+        # e2e harnesses) — one JSON object after the pretty table
+        import json as _json
+
+        logger.info(
+            "AP_DICT " + _json.dumps(
+                {k: float(v) for k, v in result_dict.items()}, sort_keys=True
+            )
+        )
     result_dict["sec_per_example"] = sec_per_example
     for t in thresh_list:
         result_dict[f"recall/rcnn_{t}"] = metric[f"recall_rcnn_{t}"] / max(

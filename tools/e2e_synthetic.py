@@ -1,0 +1,245 @@
+"""End-to-end DFU3D workflow on a synthetic dataset, with a recorded AP.
+
+Runs the reference's full four-pipeline chain (SURVEY overview) against
+generated data — the container ships no nuScenes — using the REAL CLIs:
+
+  1. synthesize a KITTI-format dataset (LiDAR + camera + depth + SEEM
+     artifacts + ground-truth labels)                [dfu3d_tpu.pseudo.synthetic]
+  2. generate pseudo boxes + densified clouds        [tools/generate_pseudo_boxes.py]
+  3. build info pkls: train ← PSEUDO labels, val ← GT labels
+  4. train the flagship CenterPoint-pillar on the pseudo boxes [tools/train.py]
+  5. evaluate on the GT val split → KITTI AP         [tools/test.py]
+
+Prints one JSON line with the resulting Car AP (unsupervised: trained only on
+factory pseudo-labels, evaluated against GT — the DFU3D paper's protocol).
+
+Usage: python tools/e2e_synthetic.py [--workdir DIR] [--epochs 12]
+       [--n_train 64] [--n_val 16] [--platform tpu|cpu]
+"""
+import argparse
+import json
+import pickle
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def build_cfg(root: Path, workdir: Path, batch_size=8):
+    import yaml
+
+    pcr = [0.0, -25.6, -5.0, 51.2, 25.6, 3.0]
+    cfg = {
+        "CLASS_NAMES": ["Car"],
+        "DATA_CONFIG": {
+            "DATASET": "KittiDataset",
+            "DATA_PATH": str(root),
+            "POINT_CLOUD_RANGE": pcr,
+            "DATA_SPLIT": {"train": "train", "test": "val"},
+            "INFO_PATH": {"train": ["kitti_infos_train.pkl"],
+                          "test": ["kitti_infos_val.pkl"]},
+            "LABEL_DIR": "label_train",
+            "GET_ITEM_LIST": ["points"],
+            "FOV_POINTS_ONLY": True,
+            "MAX_POINTS_PER_FRAME": 40960,
+            "MAX_GT_PER_FRAME": 64,
+            "DATA_AUGMENTOR": {
+                "DISABLE_AUG_LIST": ["placeholder"],
+                "AUG_CONFIG_LIST": [
+                    {"NAME": "gt_sampling",
+                     "DB_INFO_PATH": ["kitti_dbinfos_train.pkl"],
+                     "PREPARE": {"filter_by_min_points": ["Car:5"]},
+                     "SAMPLE_GROUPS": ["Car:8"],
+                     "NUM_POINT_FEATURES": 4,
+                     "LIMIT_WHOLE_SCENE": True},
+                    {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x"]},
+                    {"NAME": "random_world_rotation",
+                     "WORLD_ROT_ANGLE": [-0.3926, 0.3926]},
+                    {"NAME": "random_world_scaling",
+                     "WORLD_SCALE_RANGE": [0.95, 1.05]},
+                ],
+            },
+            "POINT_FEATURE_ENCODING": {
+                "encoding_type": "absolute_coordinates_encoding",
+                "used_feature_list": ["x", "y", "z", "intensity"],
+                "src_feature_list": ["x", "y", "z", "intensity"],
+            },
+            "DATA_PROCESSOR": [
+                {"NAME": "mask_points_and_boxes_outside_range",
+                 "REMOVE_OUTSIDE_BOXES": True},
+                {"NAME": "shuffle_points",
+                 "SHUFFLE_ENABLED": {"train": True, "test": False}},
+                {"NAME": "transform_points_to_voxels_placeholder",
+                 "VOXEL_SIZE": [0.2, 0.2, 8.0]},
+            ],
+        },
+        "MODEL": {
+            "NAME": "CenterPoint",
+            "VFE": {"NAME": "DynPillarVFE", "WITH_DISTANCE": False,
+                    "USE_ABSLOTE_XYZ": True, "USE_NORM": True,
+                    "NUM_FILTERS": [32, 64]},
+            "MAP_TO_BEV": {"NAME": "PointPillarScatter", "NUM_BEV_FEATURES": 64},
+            "BACKBONE_2D": {"NAME": "BaseBEVBackbone",
+                            "LAYER_NUMS": [3, 5], "LAYER_STRIDES": [2, 2],
+                            "NUM_FILTERS": [64, 128],
+                            "UPSAMPLE_STRIDES": [1, 2],
+                            "NUM_UPSAMPLE_FILTERS": [64, 64]},
+            "DENSE_HEAD": {
+                "NAME": "CenterHead", "CLASS_AGNOSTIC": False,
+                "CLASS_NAMES_EACH_HEAD": [["Car"]],
+                "SHARED_CONV_CHANNEL": 64, "USE_BIAS_BEFORE_NORM": True,
+                "NUM_HM_CONV": 2,
+                "SEPARATE_HEAD_CFG": {
+                    "HEAD_ORDER": ["center", "center_z", "dim", "rot"],
+                    "HEAD_DICT": {
+                        "center": {"out_channels": 2, "num_conv": 2},
+                        "center_z": {"out_channels": 1, "num_conv": 2},
+                        "dim": {"out_channels": 3, "num_conv": 2},
+                        "rot": {"out_channels": 2, "num_conv": 2},
+                    },
+                },
+                "TARGET_ASSIGNER_CONFIG": {"FEATURE_MAP_STRIDE": 2,
+                                           "NUM_MAX_OBJS": 64,
+                                           "GAUSSIAN_OVERLAP": 0.1,
+                                           "MIN_RADIUS": 2},
+                "LOSS_CONFIG": {"LOSS_WEIGHTS": {"cls_weight": 1.0,
+                                                 "loc_weight": 0.25,
+                                                 "code_weights": [1.0] * 8}},
+                "POST_PROCESSING": {
+                    "SCORE_THRESH": 0.1,
+                    "POST_CENTER_LIMIT_RANGE": [-10, -30, -10, 60, 30, 10],
+                    "MAX_OBJ_PER_SAMPLE": 64,
+                    "NMS_CONFIG": {"MULTI_CLASSES_NMS": True,
+                                   "NMS_TYPE": "nms_gpu", "NMS_THRESH": 0.2,
+                                   "NMS_PRE_MAXSIZE": 256,
+                                   "NMS_POST_MAXSIZE": 32},
+                },
+            },
+            "POST_PROCESSING": {"RECALL_THRESH_LIST": [0.3, 0.5, 0.7],
+                                "EVAL_METRIC": "kitti"},
+        },
+        "OPTIMIZATION": {"BATCH_SIZE_PER_GPU": batch_size, "NUM_EPOCHS": 12,
+                         "OPTIMIZER": "adam_onecycle", "LR": 0.003,
+                         "WEIGHT_DECAY": 0.01, "MOMS": [0.95, 0.85],
+                         "PCT_START": 0.4, "DIV_FACTOR": 10,
+                         "GRAD_NORM_CLIP": 10},
+    }
+    cfg_dir = workdir / "cfgs" / "synthetic"
+    cfg_dir.mkdir(parents=True, exist_ok=True)
+    cfg_file = cfg_dir / "centerpoint_synthetic.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg))
+    return cfg_file
+
+
+def main():
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", type=str, default="/tmp/dfu3d_e2e")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--n_train", type=int, default=64)
+    ap.add_argument("--n_val", type=int, default=16)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--platform", type=str, default="tpu",
+                    choices=["tpu", "cpu"])
+    args = ap.parse_args()
+
+    workdir = Path(args.workdir)
+    root = workdir / "data"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + ":" + env.get("PYTHONPATH", "")
+    if args.platform == "cpu":
+        env["DFU3D_PLATFORM"] = "cpu"
+
+    # 1. dataset
+    if not (root / "ImageSets" / "train.txt").exists():
+        from dfu3d_tpu.pseudo.synthetic import make_dataset
+
+        print("[1/5] synthesizing dataset ...", flush=True)
+        make_dataset(root, n_train=args.n_train, n_val=args.n_val)
+    else:
+        print("[1/5] dataset exists, reusing", flush=True)
+
+    # 2. pseudo boxes (train split frames only need them, but run on all)
+    print("[2/5] generating pseudo boxes ...", flush=True)
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "generate_pseudo_boxes.py"),
+         "--detpath", str(root), "--ground_z", "-1.7", "--z_offset", "0.0"],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    n_lines = sum(
+        len(p.read_text().splitlines())
+        for p in (root / "label_train").glob("*.txt")
+    )
+    print(f"      pseudo boxes written: {n_lines} across "
+          f"{len(list((root / 'label_train').glob('*.txt')))} frames", flush=True)
+
+    # 3. infos: train ← pseudo labels, val ← GT
+    print("[3/5] building infos ...", flush=True)
+    from dfu3d_tpu.data.kitti_dataset import KittiDataset, create_kitti_infos
+    from dfu3d_tpu.utils.config import CfgDict
+
+    cfg_file = build_cfg(root, workdir, batch_size=args.batch_size)
+    import yaml as _yaml
+
+    full_cfg = _yaml.safe_load(cfg_file.read_text())
+    ds_pseudo = CfgDict(full_cfg["DATA_CONFIG"])
+    create_kitti_infos(ds_pseudo, ["Car"], root, root, splits=("train",))
+    ds_gt = CfgDict(full_cfg["DATA_CONFIG"])
+    ds_gt["LABEL_DIR"] = "label_2"
+    create_kitti_infos(ds_gt, ["Car"], root, root, splits=("val",))
+    ds = KittiDataset(ds_pseudo, ["Car"], training=False, root_path=root)
+    ds.set_split("train")
+    ds.create_groundtruth_database(
+        root / "kitti_infos_train.pkl", root, used_classes=["Car"],
+        split="train",
+    )
+
+    # 4. train on pseudo labels
+    print("[4/5] training ...", flush=True)
+    rel_cfg = cfg_file.relative_to(workdir)
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "train.py"),
+         "--cfg_file", str(rel_cfg), "--epochs", str(args.epochs),
+         "--workers", "2"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=7200,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+    out_dir = workdir / "output" / "synthetic" / "centerpoint_synthetic" / "default"
+    ckpts = sorted((out_dir / "ckpt").glob("checkpoint_epoch_*"))
+    assert ckpts, out_dir
+
+    # 5. eval against GT
+    print("[5/5] evaluating ...", flush=True)
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "test.py"),
+         "--cfg_file", str(rel_cfg), "--ckpt", str(ckpts[-1]),
+         "--workers", "2"],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=3600,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+    text = r.stdout + r.stderr
+    ap_lines = re.findall(r"AP_DICT (\{.*\})", text)
+    if not ap_lines:
+        print(text[-3000:])
+        raise SystemExit("no AP_DICT found in eval output")
+    m = {k: v for k, v in json.loads(ap_lines[-1]).items()
+         if "Car_3d" in k or "Car_bev" in k}
+    result = {
+        "metric": "synthetic_e2e_car_ap3d_moderate_R40",
+        "value": float(m.get("Car_3d/moderate_R40", 0.0)),
+        "unit": "AP",
+        "detail": {k: float(v) for k, v in m.items()},
+        "protocol": "trained on factory pseudo-labels only, eval vs GT",
+        "epochs": args.epochs,
+        "frames": {"train": args.n_train, "val": args.n_val},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

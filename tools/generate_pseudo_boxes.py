@@ -24,6 +24,11 @@ def main():
     parser.add_argument("--end", type=int, default=None)
     parser.add_argument("--label_dir", type=str, default="label_train")
     parser.add_argument("--fov_only", action="store_true", default=True)
+    parser.add_argument("--ground_z", type=float, default=0.0,
+                        help="scene ground elevation in the lidar frame "
+                             "(reference GenerateAnns hardcodes 0)")
+    parser.add_argument("--z_offset", type=float, default=1.5,
+                        help="box bottom offset (reference hardcodes 1.5)")
     args = parser.parse_args()
 
     from dfu3d_tpu.pseudo.factory import PseudoBoxFactory, load_frame_inputs
@@ -36,7 +41,7 @@ def main():
     ids = ids[args.start : args.end]
     logger.info(f"{len(ids)} frames to process")
 
-    factory = PseudoBoxFactory()
+    factory = PseudoBoxFactory(ground_z=args.ground_z, z_offset=args.z_offset)
     t0 = time.time()
     done = 0
     for idx in ids:
