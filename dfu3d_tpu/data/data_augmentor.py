@@ -94,6 +94,103 @@ class DataAugmentor:
         data_dict["noise_translate"] = offset
         return data_dict
 
+    def random_local_translation(self, data_dict=None, config=None):
+        """Per-box jitter along configured axes (reference data_augmentor.py:158)."""
+        if data_dict is None:
+            return partial(self.random_local_translation, config=config)
+        rng_range = config["LOCAL_TRANSLATION_RANGE"]
+        gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+        for axis in config["ALONG_AXIS_LIST"]:
+            assert axis in ("x", "y", "z")
+            fn = getattr(augmentor_utils, f"random_local_translation_along_{axis}")
+            gt_boxes, points = fn(gt_boxes, points, rng_range, self.rng)
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_rotation(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_rotation, config=config)
+        rot_range = config["LOCAL_ROT_ANGLE"]
+        if not isinstance(rot_range, (list, tuple)):
+            rot_range = [-rot_range, rot_range]
+        gt_boxes, points = augmentor_utils.local_rotation(
+            data_dict["gt_boxes"], data_dict["points"], rot_range, self.rng
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_scaling(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_scaling, config=config)
+        gt_boxes, points = augmentor_utils.local_scaling(
+            data_dict["gt_boxes"], data_dict["points"],
+            config["LOCAL_SCALE_RANGE"], self.rng,
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_world_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_world_frustum_dropout, config=config)
+        intensity_range = config["INTENSITY_RANGE"]
+        gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+        for direction in config["DIRECTION"]:
+            assert direction in ("top", "bottom", "left", "right")
+            gt_boxes, points = augmentor_utils.global_frustum_dropout(
+                gt_boxes, points, intensity_range, direction, self.rng
+            )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_frustum_dropout(self, data_dict=None, config=None):
+        if data_dict is None:
+            return partial(self.random_local_frustum_dropout, config=config)
+        intensity_range = config["INTENSITY_RANGE"]
+        gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+        for direction in config["DIRECTION"]:
+            assert direction in ("top", "bottom", "left", "right")
+            gt_boxes, points = augmentor_utils.local_frustum_dropout(
+                gt_boxes, points, intensity_range, direction, self.rng
+            )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_local_pyramid_aug(self, data_dict=None, config=None):
+        """Pyramid dropout → sparsify → swap chain (reference :245-271)."""
+        if data_dict is None:
+            return partial(self.random_local_pyramid_aug, config=config)
+        gt_boxes, points = data_dict["gt_boxes"], data_dict["points"]
+        gt_boxes, points, pyramids = augmentor_utils.local_pyramid_dropout(
+            gt_boxes, points, config["DROP_PROB"], self.rng
+        )
+        gt_boxes, points, pyramids = augmentor_utils.local_pyramid_sparsify(
+            gt_boxes, points, config["SPARSIFY_PROB"],
+            config["SPARSIFY_MAX_NUM"], self.rng, pyramids=pyramids,
+        )
+        gt_boxes, points = augmentor_utils.local_pyramid_swap(
+            gt_boxes, points, config["SWAP_PROB"], config["SWAP_MAX_NUM"],
+            self.rng, pyramids=pyramids,
+        )
+        data_dict["gt_boxes"], data_dict["points"] = gt_boxes, points
+        return data_dict
+
+    def random_image_flip(self, data_dict=None, config=None):
+        """Multimodal horizontal image flip (reference :116; no-op for
+        lidar-only frames)."""
+        if data_dict is None:
+            return partial(self.random_image_flip, config=config)
+        if "images" not in data_dict or self.rng.uniform(0, 1) > 0.5:
+            return data_dict
+        image, depth_map, gt_boxes = augmentor_utils.random_image_flip_horizontal(
+            data_dict["images"], data_dict.get("depth_maps"),
+            data_dict["gt_boxes"], data_dict.get("calib"),
+        )
+        data_dict["images"] = image
+        if depth_map is not None:
+            data_dict["depth_maps"] = depth_map
+        data_dict["image_flipped"] = True
+        return data_dict
+
     def disable_augmentation(self, augmentor_configs):
         """Rebuild the queue with extra disables (disable-aug-last-epochs hook)."""
         self.data_augmentor_queue = []

@@ -143,3 +143,136 @@ class TestDataBaseSampler:
         )
         if npg.points_in_boxes(np.array([[8.0, 0, -1]]), sampled[:, :7]).any():
             assert at_loc.sum() == 0
+
+
+class TestLocalAugs:
+    def _scene(self, rng, n_boxes=3, pts_per=60):
+        boxes = np.zeros((n_boxes, 7), np.float32)
+        boxes[:, 0] = rng.uniform(5, 30, n_boxes)
+        boxes[:, 1] = rng.uniform(-10, 10, n_boxes)
+        boxes[:, 2] = -1.0
+        boxes[:, 3:6] = [4.0, 1.8, 1.6]
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_boxes)
+        pts = []
+        for b in boxes:
+            local = np.stack([
+                rng.uniform(-b[3] / 2, b[3] / 2, pts_per),
+                rng.uniform(-b[4] / 2, b[4] / 2, pts_per),
+                rng.uniform(-b[5] / 2, b[5] / 2, pts_per)], axis=1)
+            c, s = np.cos(b[6]), np.sin(b[6])
+            pts.append(np.stack([
+                local[:, 0] * c - local[:, 1] * s + b[0],
+                local[:, 0] * s + local[:, 1] * c + b[1],
+                local[:, 2] + b[2],
+                rng.uniform(0, 1, pts_per)], axis=1))
+        pts.append(np.stack([
+            rng.uniform(0, 40, 500), rng.uniform(-20, 20, 500),
+            np.full(500, -1.8), rng.uniform(0, 1, 500)], axis=1))
+        return boxes, np.concatenate(pts).astype(np.float32)
+
+    def test_local_translation_moves_box_points_together(self):
+        from dfu3d_tpu.data import augmentor_utils as au
+
+        rng = np.random.RandomState(0)
+        boxes, points = self._scene(rng, n_boxes=1)
+        inside_before = au.points_in_box_mask(points, boxes[0]).sum()
+        b2, p2 = au.random_local_translation_along_x(
+            boxes.copy(), points.copy(), [1.0, 1.0], np.random.RandomState(1)
+        )
+        assert np.isclose(b2[0, 0] - boxes[0, 0], 1.0)
+        inside_after = au.points_in_box_mask(p2, b2[0]).sum()
+        assert inside_after == inside_before  # points moved with the box
+
+    def test_local_rotation_scaling_keep_membership(self):
+        from dfu3d_tpu.data import augmentor_utils as au
+
+        rng = np.random.RandomState(2)
+        boxes, points = self._scene(rng, n_boxes=2)
+        before = [au.points_in_box_mask(points, b).sum() for b in boxes]
+        b2, p2 = au.local_rotation(boxes.copy(), points.copy(), [0.3, 0.3],
+                                   np.random.RandomState(3))
+        # note: a degenerate scale range is a no-op (reference guard)
+        b3, p3 = au.local_scaling(b2, p2, [1.05, 1.15], np.random.RandomState(4))
+        after = [au.points_in_box_mask(p3, b).sum() for b in b3]
+        assert after[0] >= before[0] and after[1] >= before[1]
+        ratios = b3[:, 3:6] / boxes[:, 3:6]
+        assert ((ratios > 1.049) & (ratios < 1.151)).all()
+        assert np.allclose(b3[:, 6], boxes[:, 6] + 0.3)
+
+    def test_frustum_dropouts(self):
+        from dfu3d_tpu.data import augmentor_utils as au
+
+        rng = np.random.RandomState(5)
+        boxes, points = self._scene(rng)
+        n0 = len(points)
+        b2, p2 = au.global_frustum_dropout(boxes.copy(), points.copy(),
+                                           [0.3, 0.3], "top",
+                                           np.random.RandomState(6))
+        assert len(p2) < n0
+        zmax = points[:, 2].max()
+        zmin = points[:, 2].min()
+        assert p2[:, 2].max() < zmax - 0.29 * (zmax - zmin) + 1e-5
+
+        b3, p3 = au.local_frustum_dropout(boxes.copy(), points.copy(),
+                                          [0.5, 0.5], "top",
+                                          np.random.RandomState(7))
+        assert len(p3) < n0
+        # only in-box points dropped
+        assert len(p3) > n0 - 3 * 60
+
+    def test_pyramid_masks_partition_box(self):
+        """The 6 face pyramids of a box exactly partition its interior."""
+        from dfu3d_tpu.data import augmentor_utils as au
+
+        rng = np.random.RandomState(8)
+        boxes, points = self._scene(rng, n_boxes=1, pts_per=300)
+        inside = au.points_in_box_mask(points, boxes[0])
+        pyr = au.get_pyramids(boxes)  # (1, 6, 15)
+        pm = au.points_in_pyramids_mask(points, pyr[0])
+        counts = pm[inside].sum(1)
+        # every inside point belongs to >= 1 pyramid (boundaries may overlap)
+        assert (counts >= 1).all()
+        assert pm[~inside].sum() == 0 or pm[~inside].mean() < 0.02
+
+    def test_pyramid_dropout_sparsify_swap_run(self):
+        from dfu3d_tpu.data import augmentor_utils as au
+
+        rng = np.random.RandomState(9)
+        boxes, points = self._scene(rng, n_boxes=3, pts_per=200)
+        b, p, pyr = au.local_pyramid_dropout(boxes.copy(), points.copy(), 1.0,
+                                             np.random.RandomState(10))
+        assert len(p) < len(points)  # every box dropped one pyramid
+        b, p, pyr = au.local_pyramid_sparsify(boxes.copy(), points.copy(), 1.0,
+                                              10, np.random.RandomState(11))
+        assert len(p) < len(points)
+        b, p2 = au.local_pyramid_swap(boxes.copy(), points.copy(), 1.0, 5,
+                                      np.random.RandomState(12))
+        assert np.isfinite(p2).all()
+
+    def test_dispatch_from_config(self):
+        from dfu3d_tpu.data.data_augmentor import DataAugmentor
+        from dfu3d_tpu.utils.config import CfgDict
+
+        rng = np.random.RandomState(13)
+        boxes, points = self._scene(rng)
+        cfgs = CfgDict({"AUG_CONFIG_LIST": [
+            {"NAME": "random_local_translation",
+             "ALONG_AXIS_LIST": ["x", "y"],
+             "LOCAL_TRANSLATION_RANGE": [-0.2, 0.2]},
+            {"NAME": "random_local_rotation", "LOCAL_ROT_ANGLE": [-0.1, 0.1]},
+            {"NAME": "random_local_scaling", "LOCAL_SCALE_RANGE": [0.95, 1.05]},
+            {"NAME": "random_world_frustum_dropout",
+             "INTENSITY_RANGE": [0.05, 0.1], "DIRECTION": ["top"]},
+            {"NAME": "random_local_frustum_dropout",
+             "INTENSITY_RANGE": [0.05, 0.1], "DIRECTION": ["top"]},
+            {"NAME": "random_local_pyramid_aug", "DROP_PROB": 0.2,
+             "SPARSIFY_PROB": 0.2, "SPARSIFY_MAX_NUM": 20,
+             "SWAP_PROB": 0.2, "SWAP_MAX_NUM": 10},
+            {"NAME": "random_image_flip", "ALONG_AXIS_LIST": ["horizontal"]},
+        ]})
+        aug = DataAugmentor(None, cfgs, ["Car"],
+                            rng=np.random.RandomState(14))
+        out = aug.forward({"points": points.copy(), "gt_boxes": boxes.copy(),
+                           "gt_names": np.array(["Car"] * len(boxes))})
+        assert np.isfinite(out["points"]).all()
+        assert out["gt_boxes"].shape[1] == 7
