@@ -335,3 +335,93 @@ def decode_anchor_predictions(preds, anchors_flat, num_class,
         rot = dir_rot + dir_offset + period * dir_labels.astype(boxes.dtype)
         boxes = boxes.at[..., 6].set(rot)
     return boxes, jax.nn.sigmoid(cls_preds)
+
+
+class AnchorHeadMulti(nn.Module):
+    """Grouped multi-head anchor head (reference dense_heads/
+    anchor_head_multi.py SingleHead stacks): a shared conv trunk, then one
+    cls/box/dir head per class group. Outputs are assembled into the SAME
+    flat per-location layout as AnchorHeadSingle (anchors are class-major per
+    location), with each anchor's logits for classes outside its own group
+    pinned to a large negative constant (stop-gradient) — per-class anchor
+    assignment never targets a foreign class, so the focal-loss contribution
+    of those entries is ~0, reproducing the reference's per-head losses
+    without a second loss path.
+
+    `class_groups`: tuple of per-group class-index tuples covering
+    0..num_class-1 in order; `anchors_per_loc_each_class`: per-CLASS anchor
+    counts (from generate_anchors).
+    """
+
+    num_class: int
+    class_groups: tuple
+    anchors_per_loc_each_class: tuple
+    shared_conv_channels: int = 64
+    use_direction_classifier: bool = True
+    num_dir_bins: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, spatial_features_2d):
+        conv = functools.partial(
+            nn.Conv, kernel_size=(1, 1), dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        x = spatial_features_2d
+        if self.shared_conv_channels:
+            x = nn.relu(
+                nn.Conv(self.shared_conv_channels, (3, 3), padding=1,
+                        use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="shared_conv")(x)
+            )
+        b, h, w, _ = x.shape
+        a_cls = self.anchors_per_loc_each_class
+        a_tot = sum(a_cls)
+        neg = -np.log((1 - 0.01) / 0.01)
+
+        cls_full = jnp.full((b, h, w, a_tot, self.num_class), -10.0, self.dtype)
+        box_parts, dir_parts = [], []
+        # class-major anchor offsets per location
+        offsets = np.concatenate([[0], np.cumsum(a_cls)])
+        for g, group in enumerate(self.class_groups):
+            a_g = sum(a_cls[c] for c in group)
+            gcls = conv(a_g * len(group),
+                        bias_init=nn.initializers.constant(neg),
+                        name=f"head{g}_cls")(x)
+            gbox = conv(a_g * 7, name=f"head{g}_box")(x)
+            gcls = gcls.reshape(b, h, w, a_g, len(group))
+            # place each class's anchors/logits at their global slots
+            base = 0
+            for ci, c in enumerate(group):
+                sl = slice(int(offsets[c]), int(offsets[c] + a_cls[c]))
+                cls_full = cls_full.at[:, :, :, sl, c].set(
+                    gcls[:, :, :, base : base + a_cls[c], ci]
+                )
+                base += a_cls[c]
+            box_parts.append((group, gbox.reshape(b, h, w, a_g, 7)))
+            if self.use_direction_classifier:
+                gdir = conv(a_g * self.num_dir_bins, name=f"head{g}_dir")(x)
+                dir_parts.append(gdir.reshape(b, h, w, a_g, self.num_dir_bins))
+
+        box_full = jnp.zeros((b, h, w, a_tot, 7), self.dtype)
+        dir_full = jnp.zeros((b, h, w, a_tot, self.num_dir_bins), self.dtype)
+        for g, (group, gbox) in enumerate(box_parts):
+            base = 0
+            for c in group:
+                sl = slice(int(offsets[c]), int(offsets[c] + a_cls[c]))
+                box_full = box_full.at[:, :, :, sl, :].set(
+                    gbox[:, :, :, base : base + a_cls[c]]
+                )
+                if dir_parts:
+                    dir_full = dir_full.at[:, :, :, sl, :].set(
+                        dir_parts[g][:, :, :, base : base + a_cls[c]]
+                    )
+                base += a_cls[c]
+
+        out = {
+            "cls_preds": cls_full.reshape(b, h, w, -1).astype(jnp.float32),
+            "box_preds": box_full.reshape(b, h, w, -1).astype(jnp.float32),
+        }
+        if self.use_direction_classifier:
+            out["dir_cls_preds"] = dir_full.reshape(b, h, w, -1).astype(jnp.float32)
+        return out

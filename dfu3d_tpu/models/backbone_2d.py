@@ -84,3 +84,106 @@ class BaseBEVBackbone(nn.Module):
         if len(ups) > 1:
             return jnp.concatenate(ups, axis=-1)
         return ups[0] if ups else x
+
+
+class ResConvBlock(nn.Module):
+    """2D residual basic block (reference base_bev_backbone.py BasicBlock)."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         param_dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=jnp.float32,
+                         param_dtype=jnp.float32)(y)
+        if self.stride != 1 or identity.shape[-1] != self.features:
+            identity = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="shortcut")(identity)
+        return nn.relu(y + identity.astype(y.dtype)).astype(self.dtype)
+
+
+class BaseBEVResBackbone(nn.Module):
+    """Residual-block BEV backbone (reference BaseBEVResBackbone) — same
+    config surface as BaseBEVBackbone."""
+
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[float]
+    num_upsample_filters: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ups = []
+        for i, num_layers in enumerate(self.layer_nums):
+            x = ResConvBlock(self.num_filters[i], stride=self.layer_strides[i],
+                             dtype=self.dtype, name=f"block{i}_down")(x, train)
+            for j in range(num_layers):
+                x = ResConvBlock(self.num_filters[i], dtype=self.dtype,
+                                 name=f"block{i}_res{j}")(x, train)
+            if i < len(self.upsample_strides):
+                stride = self.upsample_strides[i]
+                if stride >= 1:
+                    up = ConvBNReLU(self.num_upsample_filters[i],
+                                    kernel=int(stride), stride=int(stride),
+                                    transpose=True, dtype=self.dtype,
+                                    name=f"deblock{i}")(x, train)
+                else:
+                    k = int(round(1 / stride))
+                    up = ConvBNReLU(self.num_upsample_filters[i], kernel=k,
+                                    stride=k, padding="VALID",
+                                    dtype=self.dtype, name=f"deblock{i}")(x, train)
+                ups.append(up)
+        if len(ups) > 1:
+            return jnp.concatenate(ups, axis=-1)
+        return ups[0] if ups else x
+
+
+class BaseBEVBackboneV1(nn.Module):
+    """V1 variant (reference BaseBEVBackboneV1): consumes a LIST of
+    multi-scale BEV maps (e.g. x_conv4/x_conv5 from a 2D-sparse encoder),
+    refines each with its conv stack, upsamples all to a common stride, and
+    concatenates — no initial downsample convs."""
+
+    layer_nums: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[float]
+    num_upsample_filters: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature_maps, train: bool):
+        assert len(feature_maps) == len(self.layer_nums)
+        ups = []
+        for i, (x, num_layers) in enumerate(zip(feature_maps, self.layer_nums)):
+            for j in range(num_layers):
+                x = ConvBNReLU(self.num_filters[i], dtype=self.dtype,
+                               name=f"block{i}_conv{j}")(x, train)
+            stride = self.upsample_strides[i]
+            if stride >= 1:
+                up = ConvBNReLU(self.num_upsample_filters[i],
+                                kernel=int(stride), stride=int(stride),
+                                transpose=True, dtype=self.dtype,
+                                name=f"deblock{i}")(x, train)
+            else:
+                k = int(round(1 / stride))
+                up = ConvBNReLU(self.num_upsample_filters[i], kernel=k,
+                                stride=k, padding="VALID", dtype=self.dtype,
+                                name=f"deblock{i}")(x, train)
+            ups.append(up)
+        return jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]

@@ -326,11 +326,22 @@ class CenterHead(nn.Module):
 
             nms_thresh = float(nms_cfg.NMS_THRESH)
             pre_eff = min(pre_max, k_eff)
+            nms_type = nms_cfg.get("NMS_TYPE", "nms_gpu")
 
-            def run_nms(bx, sc, vd):
-                sel, keep = nms_bev(bx, sc, nms_thresh, pre_max=pre_eff,
-                                    post_max=post_max, valid=vd)
-                return sel, keep
+            if nms_type == "circle_nms":
+                # distance-based suppression (CenterPoint's circle_nms,
+                # reference centernet_utils.py:100-130); NMS_THRESH is the
+                # min center distance here
+                from ..core.geometry.nms import circle_nms
+
+                def run_nms(bx, sc, vd):
+                    return circle_nms(bx, sc, nms_thresh, post_max=post_max,
+                                      valid=vd)
+            else:
+                def run_nms(bx, sc, vd):
+                    sel, keep = nms_bev(bx, sc, nms_thresh, pre_max=pre_eff,
+                                        post_max=post_max, valid=vd)
+                    return sel, keep
 
             sel, keep = jax.vmap(run_nms)(boxes, scores, valid)
             sel_boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)

@@ -58,14 +58,36 @@ class AnchorDetectorBase(nn.Module):
             [a.reshape(a.shape[0], a.shape[1], a.shape[2], -1, 7) for a in anchors],
             axis=3,
         ).reshape(-1, 7)
-        self.dense_head = AnchorHeadSingle(
-            num_class=len(self.class_names),
-            num_anchors_per_location=sum(counts),
-            use_direction_classifier=dh.get("USE_DIRECTION_CLASSIFIER", True),
-            num_dir_bins=dh.get("NUM_DIR_BINS", 2),
-            use_iou_head=dh.get("USE_IOU_HEAD", False),
-            dtype=self.dtype,
-        )
+        if dh.get("NAME", "AnchorHeadSingle") == "AnchorHeadMulti":
+            from .anchor_head import AnchorHeadMulti
+
+            groups_cfg = dh.get("RPN_HEAD_CFGS", None)
+            if groups_cfg:
+                name_to_idx = {n: i for i, n in enumerate(self.class_names)}
+                groups = tuple(
+                    tuple(name_to_idx[n] for n in g["HEAD_CLS_NAME"])
+                    for g in groups_cfg
+                )
+            else:
+                groups = tuple((i,) for i in range(len(self.class_names)))
+            self.dense_head = AnchorHeadMulti(
+                num_class=len(self.class_names),
+                class_groups=groups,
+                anchors_per_loc_each_class=tuple(counts),
+                shared_conv_channels=dh.get("SHARED_CONV_NUM_FILTER", 64),
+                use_direction_classifier=dh.get("USE_DIRECTION_CLASSIFIER", True),
+                num_dir_bins=dh.get("NUM_DIR_BINS", 2),
+                dtype=self.dtype,
+            )
+        else:
+            self.dense_head = AnchorHeadSingle(
+                num_class=len(self.class_names),
+                num_anchors_per_location=sum(counts),
+                use_direction_classifier=dh.get("USE_DIRECTION_CLASSIFIER", True),
+                num_dir_bins=dh.get("NUM_DIR_BINS", 2),
+                use_iou_head=dh.get("USE_IOU_HEAD", False),
+                dtype=self.dtype,
+            )
 
     def _setup_backbone2d(self, cfg):
         bb = cfg.BACKBONE_2D

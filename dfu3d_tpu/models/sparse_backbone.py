@@ -461,3 +461,87 @@ def voxel_centers_of(st: SparseTensor, base_grid_size, point_cloud_range,
     pcr = jnp.asarray(point_cloud_range, jnp.float32)
     vs = jnp.asarray(base_voxel_size, jnp.float32) * stride
     return (st.coords.astype(jnp.float32) + 0.5) * vs + pcr[0:3]
+
+
+class SparseResBlock(nn.Module):
+    """Residual submanifold block: SubM→BN→ReLU→SubM→BN (+skip) → ReLU
+    (reference SparseBasicBlock, spconv_backbone.py:14-60)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool, nbr=None):
+        identity = st.features
+        st1 = SubMConv3d(self.channels, dtype=self.dtype, name="conv1")(st, nbr)
+        x = nn.relu(SparseBatchNorm(dtype=self.dtype, name="bn1")(
+            st1.features, st1.valid, train))
+        st2 = SubMConv3d(self.channels, dtype=self.dtype, name="conv2")(
+            SparseTensor(x, st.coords, st.valid, st.grid), nbr)
+        x = SparseBatchNorm(dtype=self.dtype, name="bn2")(
+            st2.features, st2.valid, train)
+        if identity.shape[-1] != self.channels:
+            identity = nn.Dense(self.channels, use_bias=False,
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name="downsample")(identity)
+        x = nn.relu(x + identity.astype(x.dtype))
+        x = jnp.where(st.valid[..., None], x, 0.0)
+        return SparseTensor(x, st.coords, st.valid, st.grid)
+
+
+class VoxelResBackBone8x(nn.Module):
+    """Residual-block variant of VoxelBackBone8x (reference
+    spconv_backbone.VoxelResBackBone8x:184-260: channels 16→32→64→128, two
+    SparseBasicBlocks per stage, strided downs between)."""
+
+    grid: SparseGrid
+    voxel_cap: int
+    channels: Sequence[int] = (16, 32, 64, 128)
+    out_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, coords, valid, train: bool) -> SparseTensor:
+        st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
+        offsets = kernel_offsets(3, 3, 3)
+
+        def stage_tables(st):
+            cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+            nbr = _batched_neighbors(
+                st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
+                cmap=cmap,
+            )
+            return cmap, nbr
+
+        def down_bn_relu(st, ch, cap, cmap, z_only=False, name=None):
+            st = SparseConv3dDown(
+                ch, out_cap=cap, z_only=z_only, dtype=self.dtype, name=name
+            )(st, in_cmap=cmap, train=train)
+            x = nn.relu(SparseBatchNorm(dtype=self.dtype, name=f"{name}_bn")(
+                st.features, st.valid, train))
+            x = jnp.where(st.valid[..., None], x, 0.0)
+            return SparseTensor(x, st.coords, st.valid, st.grid)
+
+        cap = self.voxel_cap
+        cmap, nbr = stage_tables(st)
+        st = SparseConvBlock(self.channels[0], dtype=self.dtype,
+                             name="conv_input")(st, train, nbr)
+        st = SparseResBlock(self.channels[0], dtype=self.dtype, name="res1a")(st, train, nbr)
+        st = SparseResBlock(self.channels[0], dtype=self.dtype, name="res1b")(st, train, nbr)
+        st = down_bn_relu(st, self.channels[1], max(cap // 2, 16), cmap, name="down2")
+        cmap, nbr = stage_tables(st)
+        st = SparseResBlock(self.channels[1], dtype=self.dtype, name="res2a")(st, train, nbr)
+        st = SparseResBlock(self.channels[1], dtype=self.dtype, name="res2b")(st, train, nbr)
+        st = down_bn_relu(st, self.channels[2], max(cap // 4, 16), cmap, name="down3")
+        cmap, nbr = stage_tables(st)
+        st = SparseResBlock(self.channels[2], dtype=self.dtype, name="res3a")(st, train, nbr)
+        st = SparseResBlock(self.channels[2], dtype=self.dtype, name="res3b")(st, train, nbr)
+        st = down_bn_relu(st, self.channels[3], max(cap // 8, 16), cmap, name="down4")
+        cmap, nbr = stage_tables(st)
+        st = SparseResBlock(self.channels[3], dtype=self.dtype, name="res4a")(st, train, nbr)
+        st = SparseResBlock(self.channels[3], dtype=self.dtype, name="res4b")(st, train, nbr)
+        st = down_bn_relu(
+            st, self.out_channels, max(cap // 8, 16), cmap,
+            z_only=True, name="conv_out",
+        )
+        return st

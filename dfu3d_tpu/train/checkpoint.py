@@ -39,19 +39,23 @@ def list_checkpoints(ckpt_dir) -> list:
 
 
 def save_checkpoint(ckpt_dir, state: TrainState, epoch: int,
-                    max_ckpt_save_num: int = 30):
+                    max_ckpt_save_num: int = 30, name: str = None):
+    """`name` overrides the epoch-derived directory (the reference's
+    wallclock `latest_model` saves, train_utils.py:135-143 — excluded from
+    rotation and from list_checkpoints' epoch glob)."""
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
-    # rotation (reference train_utils.py:199-206)
-    existing = list_checkpoints(ckpt_dir)
-    while len(existing) >= max_ckpt_save_num:
-        _, oldest = existing.pop(0)
-        import shutil
+    if name is None:
+        # rotation (reference train_utils.py:199-206)
+        existing = list_checkpoints(ckpt_dir)
+        while len(existing) >= max_ckpt_save_num:
+            _, oldest = existing.pop(0)
+            import shutil
 
-        shutil.rmtree(oldest, ignore_errors=True)
+            shutil.rmtree(oldest, ignore_errors=True)
 
-    path = ckpt_dir / f"checkpoint_epoch_{epoch}"
+    path = ckpt_dir / (name if name else f"checkpoint_epoch_{epoch}")
     host_state = jax.device_get(state)
     _checkpointer().save(
         path.absolute(), {"state": host_state._asdict(), "epoch": epoch},

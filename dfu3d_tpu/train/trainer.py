@@ -49,6 +49,9 @@ def train_model(model, tx, state, train_loader, cfg, args, ckpt_dir, logger,
     total_epochs = args.epochs
     ckpt_save_interval = getattr(args, "ckpt_save_interval", 1)
     max_ckpt_save_num = getattr(args, "max_ckpt_save_num", 30)
+    # wallclock-interval latest_model save (reference train_utils.py:135-143)
+    ckpt_save_time_interval = getattr(args, "ckpt_save_time_interval", 300)
+    merge_all_iters = getattr(args, "merge_all_iters_to_one_epoch", False)
 
     if mesh is None:
         mesh = make_mesh(model=1)
@@ -57,6 +60,17 @@ def train_model(model, tx, state, train_loader, cfg, args, ckpt_dir, logger,
 
     accumulated_iter = int(state.step)
     steps_per_epoch = len(train_loader)
+
+    if merge_all_iters and hasattr(train_loader.dataset, "merge_all_iters_to_one_epoch"):
+        # one long epoch over total_epochs × dataset (reference
+        # train_utils.py:156-162 + dataset.merge_all_iters_to_one_epoch)
+        train_loader.dataset.merge_all_iters_to_one_epoch(
+            merge=True, epochs=total_epochs
+        )
+        steps_per_epoch = len(train_loader)
+        start_epoch, total_epochs = 0, 1
+
+    last_latest_save = time.time()
 
     for cur_epoch in range(start_epoch, total_epochs):
         train_loader.set_epoch(cur_epoch)
@@ -96,12 +110,29 @@ def train_model(model, tx, state, train_loader, cfg, args, ckpt_dir, logger,
             batch_time += time.time() - end
             end = time.time()
             pbar.update(1)
+
+            if time.time() - last_latest_save > ckpt_save_time_interval:
+                # crash-resilience save between epoch boundaries (reference
+                # latest_model, train_utils.py:135-143)
+                save_checkpoint(ckpt_dir, state, -1, max_ckpt_save_num,
+                                name="latest_model")
+                last_latest_save = time.time()
         pbar.close()
 
         if logger:
+            dt, bt = data_time, batch_time
+            if jax.process_count() > 1:
+                # cross-host time averaging (reference
+                # average_reduce_value, train_utils.py:71-73)
+                from jax.experimental import multihost_utils
+
+                pair = multihost_utils.process_allgather(
+                    np.asarray([dt, bt], np.float64)
+                )
+                dt, bt = float(pair[..., 0].mean()), float(pair[..., 1].mean())
             logger.info(
                 f"epoch {cur_epoch}: loss={last_metrics.get('loss', float('nan')):.4f} "
-                f"data_time={data_time:.1f}s batch_time={batch_time:.1f}s"
+                f"data_time={dt:.1f}s batch_time={bt:.1f}s"
             )
 
         trained_epoch = cur_epoch + 1
