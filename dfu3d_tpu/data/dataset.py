@@ -40,6 +40,28 @@ class BatchMeta(NamedTuple):
     image_shapes: List[Any]
 
 
+class MultimodalBatch(NamedTuple):
+    """Camera(+LiDAR) device batch for the image-branch detectors (CaDDN,
+    TransFusion-LC, BEVFusion). Static shapes; N_cam = 1 for KITTI-style
+    single-front-camera data."""
+
+    points: np.ndarray           # (B, N_max, C) fp32 (zeros for camera-only)
+    points_valid: np.ndarray     # (B, N_max) bool
+    gt_boxes: np.ndarray         # (B, M_max, 8)
+    gt_valid: np.ndarray         # (B, M_max)
+    images: np.ndarray           # (B, N_cam, H, W, 3) fp32 normalized
+    cam_intrinsics: np.ndarray   # (B, N_cam, 3, 3)
+    cam2lidar_rots: np.ndarray   # (B, N_cam, 3, 3)
+    cam2lidar_trans: np.ndarray  # (B, N_cam, 3)
+    lidar_to_cam: np.ndarray     # (B, N_cam, 4, 4)
+    cam_to_img: np.ndarray       # (B, N_cam, 3, 4)
+    depth_maps: np.ndarray       # (B, N_cam, H, W) projected-LiDAR depth (0 = none)
+
+    @property
+    def batch_size(self) -> int:
+        return self.images.shape[0]
+
+
 class DatasetTemplate:
     """Pipeline skeleton (reference DatasetTemplate semantics, dataset.py:15-156)."""
 

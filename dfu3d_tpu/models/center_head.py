@@ -361,3 +361,44 @@ class CenterHead(nn.Module):
             jnp.concatenate(all_labels, axis=1),
             jnp.concatenate(all_valid, axis=1),
         )
+
+
+def gaussian_heatmap_targets(gt_boxes, gt_valid, num_class, feature_map_size,
+                             point_cloud_range, voxel_size,
+                             feature_map_stride, gaussian_overlap=0.1,
+                             min_radius=2):
+    """Standalone dense gaussian heatmap targets (B, H, W, num_class) — the
+    class-flat variant of CenterHead.assign_targets' splat, used by
+    TransFusionHead's dense heatmap loss."""
+    H, W = feature_map_size
+    pcr = jnp.asarray(point_cloud_range, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    stride = float(feature_map_stride)
+
+    cls_id = jnp.clip(gt_boxes[..., 7].astype(jnp.int32), 0, num_class)
+    coord_x = jnp.clip((gt_boxes[..., 0] - pcr[0]) / vs[0] / stride, 0.0, W - 0.5)
+    coord_y = jnp.clip((gt_boxes[..., 1] - pcr[1]) / vs[1] / stride, 0.0, H - 0.5)
+    cx = coord_x.astype(jnp.int32)
+    cy = coord_y.astype(jnp.int32)
+    dx = gt_boxes[..., 3] / vs[0] / stride
+    dy = gt_boxes[..., 4] / vs[1] / stride
+    radius = jnp.maximum(
+        gaussian_radius(dx, dy, gaussian_overlap).astype(jnp.int32), min_radius
+    )
+    live = gt_valid & (dx > 0) & (dy > 0) & (cls_id > 0)
+
+    off_y = jnp.arange(H, dtype=jnp.int32)[None, None, :] - cy[..., None]
+    off_x = jnp.arange(W, dtype=jnp.int32)[None, None, :] - cx[..., None]
+    sigma = (2.0 * radius.astype(jnp.float32) + 1.0) / 6.0
+    inv = 1.0 / (2.0 * sigma * sigma)
+    g_y = jnp.exp(-(off_y.astype(jnp.float32) ** 2) * inv[..., None])
+    g_x = jnp.exp(-(off_x.astype(jnp.float32) ** 2) * inv[..., None])
+    g_y = jnp.where((jnp.abs(off_y) <= radius[..., None]) & live[..., None], g_y, 0.0)
+    g_x = jnp.where(jnp.abs(off_x) <= radius[..., None], g_x, 0.0)
+
+    maps = []
+    for c in range(num_class):
+        sel = live & (cls_id == c + 1)
+        gy = jnp.where(sel[..., None], g_y, 0.0)
+        maps.append(jnp.max(gy[..., :, None] * g_x[..., None, :], axis=1))
+    return jnp.stack(maps, axis=-1)

@@ -166,6 +166,8 @@ from .voxelnext import VoxelNeXt  # noqa: E402
 from .parta2 import PartA2Net  # noqa: E402
 from .pvrcnn import PVRCNN, PVRCNNPlusPlus  # noqa: E402
 from .voxelrcnn import VoxelRCNN  # noqa: E402
+from .caddn import CaDDN  # noqa: E402
+from .bevfusion import BevFusion, TransFusion  # noqa: E402
 
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
@@ -178,6 +180,9 @@ __all_detectors__ = {
     "PVRCNN": PVRCNN,
     "PVRCNNPlusPlus": PVRCNNPlusPlus,
     "VoxelRCNN": VoxelRCNN,
+    "CaDDN": CaDDN,
+    "TransFusion": TransFusion,
+    "BevFusion": BevFusion,
 }
 
 

@@ -1,0 +1,183 @@
+"""Camera-branch tests: bev_pool, Swin/FPN/LSS modules, CaDDN, TransFusion,
+BEVFusion loss/grad/predict smoke."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfu3d_tpu.core.voxel import VoxelGrid
+from dfu3d_tpu.core.voxel.bev_pool import bev_pool
+from dfu3d_tpu.data.dataset import MultimodalBatch
+from dfu3d_tpu.models import build_network
+from dfu3d_tpu.utils.config import CfgDict
+
+
+class TestBevPool:
+    def test_matches_bruteforce(self):
+        rng = np.random.RandomState(0)
+        p, c, b, nz, ny, nx = 500, 6, 2, 2, 8, 8
+        feats = rng.randn(p, c).astype(np.float32)
+        coords = np.stack([
+            rng.randint(0, b, p), rng.randint(-1, nz + 1, p),
+            rng.randint(0, ny, p), rng.randint(0, nx, p)], axis=1).astype(np.int32)
+        valid = rng.rand(p) > 0.1
+
+        want = np.zeros((b, nz, ny, nx, c), np.float32)
+        for i in range(p):
+            bi, zi, yi, xi = coords[i]
+            if valid[i] and 0 <= zi < nz:
+                want[bi, zi, yi, xi] += feats[i]
+
+        # cap must cover the distinct-cell count; smaller caps truncate (documented)
+        for cap in (0, 400):
+            got = np.asarray(bev_pool(
+                jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid),
+                b, nz, ny, nx, max_cells=cap))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grad_flows(self):
+        rng = np.random.RandomState(1)
+        feats = jnp.asarray(rng.randn(64, 4).astype(np.float32))
+        coords = jnp.asarray(
+            np.stack([np.zeros(64), np.zeros(64), rng.randint(0, 4, 64),
+                      rng.randint(0, 4, 64)], axis=1).astype(np.int32))
+        g = jax.grad(lambda f: jnp.sum(
+            bev_pool(f, coords, jnp.ones(64, bool), 1, 1, 4, 4) ** 2
+        ))(feats)
+        assert np.isfinite(np.asarray(g)).all() and np.abs(g).sum() > 0
+
+
+def _mm_batch(rng, b=1, n_cam=1, n=512, m=8, ih=64, iw=64):
+    pts = np.zeros((b, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(1, 12, (b, n))
+    pts[..., 1] = rng.uniform(-6, 6, (b, n))
+    pts[..., 2] = rng.uniform(-2, 1, (b, n))
+    gt = np.zeros((b, m, 8), np.float32)
+    gt[..., 0] = rng.uniform(2, 11, (b, m))
+    gt[..., 1] = rng.uniform(-5, 5, (b, m))
+    gt[..., 2] = -0.5
+    gt[..., 3:6] = rng.uniform(0.8, 4, (b, m, 3))
+    gt[..., 6] = rng.uniform(-3, 3, (b, m))
+    gt[..., 7] = rng.randint(1, 4, (b, m))
+    gt_valid = np.ones((b, m), bool)
+    K = np.tile(np.array([[50.0, 0, iw / 2], [0, 50.0, ih / 2], [0, 0, 1]],
+                         np.float32), (b, n_cam, 1, 1))
+    # camera at lidar origin looking +x: cam z = lidar x, cam x = -lidar y,
+    # cam y = -lidar z
+    R_l2c = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    l2c = np.zeros((b, n_cam, 4, 4), np.float32)
+    l2c[:, :, :3, :3] = R_l2c
+    l2c[:, :, 3, 3] = 1
+    c2i = np.zeros((b, n_cam, 3, 4), np.float32)
+    c2i[:, :, :, :3] = K
+    cam2lidar_rots = np.tile(R_l2c.T, (b, n_cam, 1, 1)).astype(np.float32)
+    cam2lidar_trans = np.zeros((b, n_cam, 3), np.float32)
+    depth = rng.uniform(0, 12, (b, n_cam, ih, iw)).astype(np.float32)
+    depth[depth < 2] = 0
+    return MultimodalBatch(
+        points=pts, points_valid=np.ones((b, n), bool),
+        gt_boxes=gt, gt_valid=gt_valid,
+        images=rng.rand(b, n_cam, ih, iw, 3).astype(np.float32),
+        cam_intrinsics=K, cam2lidar_rots=cam2lidar_rots,
+        cam2lidar_trans=cam2lidar_trans, lidar_to_cam=l2c, cam_to_img=c2i,
+        depth_maps=depth,
+    )
+
+
+def _grid():
+    return VoxelGrid.create([0, -6.4, -3, 12.8, 6.4, 1], [0.2, 0.2, 0.25])
+
+
+def _smoke(model, batch, check_tb=()):
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           train=False)
+    (loss, tb), _ = model.apply(variables, batch, train=True,
+                                mutable=["batch_stats"])
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    for k in check_tb:
+        assert np.isfinite(float(tb[k])), k
+
+    def loss_fn(params):
+        (l, _), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, mutable=["batch_stats"])
+        return l
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert sum(float(np.abs(np.asarray(x)).sum()) for x in leaves) > 0
+    boxes, scores, labels, keep = model.apply(
+        variables, batch, method=lambda mm, bb: mm.predict(bb))
+    assert np.isfinite(np.asarray(boxes)).all()
+    return tb
+
+
+class TestCaDDN:
+    def test_loss_grads_predict(self):
+        from test_pointpillar import pp_model_cfg
+
+        cfg = pp_model_cfg()
+        cfg["NAME"] = "CaDDN"
+        cfg["VFE"] = {"NAME": "ImageVFE",
+                      "DDN": {"FEAT_CHANNELS": 8, "STEM_CHANNELS": [4, 8]},
+                      "DISC_CFG": {"num_bins": 12, "depth_min": 2.0,
+                                   "depth_max": 14.0}}
+        cfg["MAP_TO_BEV"] = {"NAME": "Conv2DCollapse", "NUM_BEV_FEATURES": 16}
+        for c in cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"]:
+            c["feature_map_stride"] = 2
+        cfg["BACKBONE_2D"] = {
+            "NAME": "BaseBEVBackbone", "LAYER_NUMS": [1], "LAYER_STRIDES": [2],
+            "NUM_FILTERS": [16], "UPSAMPLE_STRIDES": [1],
+            "NUM_UPSAMPLE_FILTERS": [16],
+        }
+        model = build_network(CfgDict(cfg), ["Car", "Pedestrian", "Cyclist"],
+                              _grid())
+        batch = _mm_batch(np.random.RandomState(0))
+        tb = _smoke(model, batch, check_tb=("depth_loss",))
+
+
+class TestTransFusion:
+    def test_loss_grads_predict(self):
+        cfg = CfgDict({
+            "NAME": "TransFusion",
+            "BACKBONE_3D": {"CHANNELS": [4, 4, 8, 8, 8], "OUT_CHANNELS": 16},
+            "BACKBONE_2D": {"LAYER_NUMS": [1], "LAYER_STRIDES": [1],
+                            "NUM_FILTERS": [16], "UPSAMPLE_STRIDES": [1],
+                            "NUM_UPSAMPLE_FILTERS": [16]},
+            "DENSE_HEAD": {"NAME": "TransFusionHead", "NUM_PROPOSALS": 16,
+                           "HIDDEN_CHANNEL": 16, "NUM_HEADS": 2,
+                           "TARGET_ASSIGNER_CONFIG": {"FEATURE_MAP_STRIDE": 8}},
+        })
+        model = build_network(cfg, ["Car", "Pedestrian", "Cyclist"], _grid(),
+                              max_voxels=512)
+        batch = _mm_batch(np.random.RandomState(1))
+        tb = _smoke(model, batch,
+                    check_tb=("tf_cls_loss", "tf_reg_loss", "tf_hm_loss"))
+
+
+class TestBevFusion:
+    def test_loss_grads_predict(self):
+        cfg = CfgDict({
+            "NAME": "BevFusion",
+            "BACKBONE_3D": {"CHANNELS": [4, 4, 8, 8, 8], "OUT_CHANNELS": 16},
+            "IMAGE_BACKBONE": {"EMBED_DIMS": 8, "DEPTHS": [1, 1],
+                               "NUM_HEADS": [2, 2], "WINDOW_SIZE": 4,
+                               "PATCH_SIZE": 4, "OUT_INDICES": [0, 1]},
+            "NECK": {"IN_CHANNELS": [8, 16], "OUT_CHANNELS": 16},
+            "VTRANSFORM": {"OUT_CHANNEL": 8, "IMAGE_SIZE": [64, 64],
+                           "FEATURE_SIZE": [16, 16],
+                           "XBOUND": [0, 12.8, 1.6], "YBOUND": [-6.4, 6.4, 1.6],
+                           "ZBOUND": [-3, 1, 4.0], "DBOUND": [2.0, 14.0, 1.0]},
+            "FUSER": {"OUT_CHANNEL": 16},
+            "BACKBONE_2D": {"LAYER_NUMS": [1], "LAYER_STRIDES": [1],
+                            "NUM_FILTERS": [16], "UPSAMPLE_STRIDES": [1],
+                            "NUM_UPSAMPLE_FILTERS": [16]},
+            "DENSE_HEAD": {"NAME": "TransFusionHead", "NUM_PROPOSALS": 16,
+                           "HIDDEN_CHANNEL": 16, "NUM_HEADS": 2,
+                           "TARGET_ASSIGNER_CONFIG": {"FEATURE_MAP_STRIDE": 8}},
+        })
+        model = build_network(cfg, ["Car", "Pedestrian", "Cyclist"], _grid(),
+                              max_voxels=512)
+        batch = _mm_batch(np.random.RandomState(2))
+        _smoke(model, batch, check_tb=("tf_hm_loss",))
