@@ -202,3 +202,34 @@ def downsample_coords(down_grid: SparseGrid, coords, valid, out_cap: int,
     )
     out_valid = jnp.arange(out_cap) < num_out
     return out_coords, out_valid, slot_of_input
+
+
+def ingroup_inds(group_ids, valid=None):
+    """Index of each element within its group (SURVEY §2.1 N7: the
+    ingroup_inds CUDA op used by DSVT's set partitioning,
+    pcdet/ops/ingroup_inds). Sort-based, fully static shapes.
+
+    Args:
+        group_ids: (N,) int32; valid: (N,) bool (invalid sort last, get -1).
+    Returns:
+        (N,) int32 rank within group, stable by original order.
+    """
+    n = group_ids.shape[0]
+    if valid is not None:
+        big = jnp.iinfo(jnp.int32).max
+        keys = jnp.where(valid, group_ids, big)
+    else:
+        keys = group_ids
+    order = jnp.argsort(keys, stable=True)
+    sorted_keys = jnp.take(keys, order)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start_pos = jnp.where(is_start, pos, 0)
+    start_of = jax.lax.associative_scan(jnp.maximum, start_pos)
+    rank_sorted = pos - start_of
+    out = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    if valid is not None:
+        out = jnp.where(valid, out, -1)
+    return out

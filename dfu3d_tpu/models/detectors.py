@@ -45,7 +45,27 @@ class CenterPoint(nn.Module):
         cfg = self.cfg
         vfe_cfg = cfg.VFE
         self._use_voxel_backbone = "BACKBONE_3D" in cfg
-        if self._use_voxel_backbone:
+        self._use_dsvt = (
+            self._use_voxel_backbone
+            and cfg.BACKBONE_3D.get("NAME", "") == "DSVT"
+        )
+        if self._use_dsvt:
+            # DSVT pillar transformer (backbones_3d/dsvt.py; N7 ingroup_inds)
+            from .dsvt import DSVTBackbone
+
+            nx, ny, _ = self.grid.grid_size
+            bb3d = cfg.BACKBONE_3D
+            self.backbone_3d = DSVTBackbone(
+                dim=int(bb3d.get("DIM", 128)),
+                num_heads=int(bb3d.get("NUM_HEADS", 8)),
+                num_blocks=int(bb3d.get("NUM_BLOCKS", 4)),
+                window_shape=tuple(bb3d.get("WINDOW_SHAPE", (12, 12))),
+                set_size=int(bb3d.get("SET_SIZE", 36)),
+                max_sets=int(bb3d.get("MAX_SETS", 1024)),
+                grid_size=(nx, ny),
+                dtype=self.dtype,
+            )
+        elif self._use_voxel_backbone:
             # voxel CenterPoint: MeanVFE + sparse 3D backbone (the reference's
             # alternative config, centerpoint_nuscenes2kitti.yaml:100-180)
             from ..core.voxel.sparse_ops import SparseGrid
@@ -101,7 +121,45 @@ class CenterPoint(nn.Module):
         )
 
     def _features(self, batch, train: bool):
-        if self._use_voxel_backbone:
+        if self._use_dsvt:
+            from ..core.voxel import dynamic_voxelize
+
+            nx, ny, _ = self.grid.grid_size
+
+            def pillarize_one(points, valid):
+                vox = dynamic_voxelize(self.grid, points, valid, self.max_voxels)
+                sums = jax.ops.segment_sum(
+                    jnp.where(valid[:, None], points, 0.0),
+                    vox.point_to_voxel, num_segments=self.max_voxels,
+                )
+                counts = jax.ops.segment_sum(
+                    valid.astype(jnp.float32), vox.point_to_voxel,
+                    num_segments=self.max_voxels,
+                )
+                feats = sums / jnp.maximum(counts, 1.0)[:, None]
+                return feats, vox.voxel_coords[:, :2], vox.voxel_valid
+
+            feats, coords, valid = jax.vmap(pillarize_one)(
+                batch.points, batch.points_valid
+            )
+            out = nn.vmap(
+                lambda m, f, c, v: m(f, c, v, train),
+                variable_axes={"params": None, "batch_stats": None},
+                split_rngs={"params": False}, in_axes=0,
+            )(self.backbone_3d, feats, coords, valid)
+            # scatter pillars to the dense BEV
+            b = feats.shape[0]
+            cells = nx * ny
+            lin = coords[..., 1] * nx + coords[..., 0]
+            lin = jnp.where(valid, lin + jnp.arange(b)[:, None] * cells,
+                            b * cells)
+            dense = (
+                jnp.zeros((b * cells + 1, out.shape[-1]), out.dtype)
+                .at[lin.reshape(-1)]
+                .set(out.reshape(-1, out.shape[-1]), mode="drop")
+            )[: b * cells]
+            bev = dense.reshape(b, ny, nx, -1)
+        elif self._use_voxel_backbone:
             from ..core.voxel import dynamic_voxelize
             from .sparse_backbone import height_compression
 
@@ -161,6 +219,25 @@ class SECONDNetIoU(SECONDNet):
         c = super().cfg
         c.DENSE_HEAD["USE_IOU_HEAD"] = True
         return c
+class PillarNet(CenterPoint):
+    """PillarNet (reference detectors/pillarnet.py + backbones_3d
+    spconv2d PillarRes18BackBone8x): pillar features refined by a sparse
+    2D conv pyramid before the dense BEV neck + CenterHead. Expressed here
+    as the sparse-backbone CenterPoint on an nz=1 pillar grid — the 3×3×3
+    submanifold kernels degenerate to 3×3 2D sparse convs on pillars, which
+    is exactly the reference's sparse-2D formulation."""
+
+    def setup(self):
+        assert self.grid.grid_size[2] == 1, (
+            "PillarNet needs a pillar grid (nz == 1); got "
+            f"{self.grid.grid_size}"
+        )
+        super().setup()
+        assert self._use_voxel_backbone and not self._use_dsvt, (
+            "PillarNet config must set BACKBONE_3D (sparse 2D pyramid)"
+        )
+
+
 from .pointrcnn import PointRCNN  # noqa: E402
 from .voxelnext import VoxelNeXt  # noqa: E402
 from .parta2 import PartA2Net  # noqa: E402
@@ -183,6 +260,7 @@ __all_detectors__ = {
     "CaDDN": CaDDN,
     "TransFusion": TransFusion,
     "BevFusion": BevFusion,
+    "PillarNet": PillarNet,
 }
 
 

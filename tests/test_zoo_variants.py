@@ -111,3 +111,62 @@ class TestCircleNMSWiring:
         boxes, scores, labels, keep = model.apply(
             variables, batch, method=lambda m, b: m.predict(b))
         assert np.isfinite(np.asarray(boxes)).all()
+
+
+class TestDSVTAndPillarNet:
+    def test_dsvt_centerpoint(self):
+        from dfu3d_tpu.core.voxel import VoxelGrid
+        from dfu3d_tpu.models import build_network
+
+        from test_model import CLASS_NAMES, make_batch, tiny_model_cfg
+
+        cfg = tiny_model_cfg()
+        cfg["BACKBONE_3D"] = {"NAME": "DSVT", "DIM": 16, "NUM_HEADS": 2,
+                              "NUM_BLOCKS": 2, "WINDOW_SHAPE": [8, 8],
+                              "SET_SIZE": 16, "MAX_SETS": 128}
+        grid = VoxelGrid.create([0, -6.4, -3, 6.4, 6.4, 1], [0.2, 0.2, 4.0])
+        model = build_network(cfg, CLASS_NAMES, grid, max_voxels=512)
+        batch = make_batch(np.random.RandomState(5), b=2, n=256)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               train=False)
+        (loss, _), _ = model.apply(variables, batch, train=True,
+                                   mutable=["batch_stats"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+        def loss_fn(params):
+            (l, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"])
+            return l
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        boxes, *_ = model.apply(variables, batch,
+                                method=lambda m, b: m.predict(b))
+        assert np.isfinite(np.asarray(boxes)).all()
+
+    def test_pillarnet(self):
+        from dfu3d_tpu.core.voxel import VoxelGrid
+        from dfu3d_tpu.models import build_network
+
+        from test_model import CLASS_NAMES, make_batch, tiny_model_cfg
+
+        cfg = tiny_model_cfg()
+        cfg["NAME"] = "PillarNet"
+        cfg["VFE"] = {"NAME": "MeanVFE"}
+        cfg["BACKBONE_3D"] = {"NAME": "PillarRes18BackBone8x",
+                              "CHANNELS": [8, 8, 16, 16, 16],
+                              "OUT_CHANNELS": 16}
+        cfg["DENSE_HEAD"]["TARGET_ASSIGNER_CONFIG"]["FEATURE_MAP_STRIDE"] = 16
+        grid = VoxelGrid.create([0, -6.4, -3, 6.4, 6.4, 1], [0.1, 0.1, 4.0])
+        model = build_network(cfg, CLASS_NAMES, grid, max_voxels=512)
+        batch = make_batch(np.random.RandomState(6), b=2, n=256)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               train=False)
+        (loss, _), _ = model.apply(variables, batch, train=True,
+                                   mutable=["batch_stats"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        boxes, *_ = model.apply(variables, batch,
+                                method=lambda m, b: m.predict(b))
+        assert np.isfinite(np.asarray(boxes)).all()
