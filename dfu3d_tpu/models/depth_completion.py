@@ -135,3 +135,169 @@ def masked_l1_loss(pred, target):
     return jnp.sum(jnp.abs(pred - target) * mask) / jnp.maximum(
         jnp.sum(mask), 1.0
     )
+
+
+# ---------------------------------------------------------------------------
+# CSPN / DA-CSPN++ refinement (reference tools/PENet/basic.py:155-279 +
+# model.py:382-742 PENet_C1/C2/C4)
+# ---------------------------------------------------------------------------
+
+def _patches(x, k: int, dilation: int):
+    """(B, H, W, 1) → (B, H, W, k²) neighborhood patches (zero-padded)."""
+    return jax.lax.conv_general_dilated_patches(
+        x, filter_shape=(k, k), window_strides=(1, 1),
+        padding=((dilation * (k // 2),) * 2, (dilation * (k // 2),) * 2),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class CSPNGuide(nn.Module):
+    """Affinity generator (reference CSPNGenerate/Accelerate): k²−1 neighbor
+    weights normalized by |·|-sum; the center weight closes the partition of
+    unity (1 − Σ neighbors)."""
+
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool):
+        k = self.kernel_size
+        g = ConvBnRelu(k * k - 1, dtype=self.dtype, name="gen")(feats, train)
+        g = g.astype(jnp.float32)
+        g = g / jnp.maximum(jnp.sum(jnp.abs(g), axis=-1, keepdims=True), 1e-6)
+        center = 1.0 - jnp.sum(g, axis=-1, keepdims=True)
+        half = (k * k - 1) // 2
+        return jnp.concatenate([g[..., :half], center, g[..., half:]], axis=-1)
+
+
+def cspn_iterate(depth, guide, sparse_depth, valid_mask, k: int,
+                 dilation: int, iters: int):
+    """Iterative convolutional spatial propagation with sparse-depth pinning
+    (reference CSPNAccelerate loop + mask re-injection, model.py:653-741)."""
+
+    def body(h, _):
+        p = _patches(h, k, dilation)  # (B, H, W, k²)
+        h2 = jnp.sum(p * guide, axis=-1, keepdims=True)
+        h2 = valid_mask * sparse_depth + (1.0 - valid_mask) * h2
+        return h2, None
+
+    out, _ = jax.lax.scan(body, depth, None, length=iters)
+    return out
+
+
+class PENetC2(nn.Module):
+    """ENet + two-scale DA-CSPN++ refinement (reference PENet_C2,
+    model.py:382-525): multi-kernel (3/5/7) guides with kernel-confidence
+    mixing, dilation-2 propagation at half resolution, then full-resolution
+    propagation; the sparse input is pinned every iteration.
+
+    Deviations (documented): guidance features come from a small conv stack
+    over [rgb, sparse, coarse depth] rather than taps into ENet's decoder
+    (our EncoderDecoder is differently shaped); iteration counts/kernels
+    match the reference (6 + 6)."""
+
+    widths: Sequence[int] = (32, 64, 128, 256)
+    iters: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, sparse_depth, calib_cu, calib_cv, calib_fu,
+                 calib_fv, train: bool = False):
+        coarse, cd, dd = ENet(self.widths, dtype=self.dtype, name="backbone")(
+            rgb, sparse_depth, calib_cu, calib_cv, calib_fu, calib_fv, train
+        )
+        feat_in = jnp.concatenate(
+            [rgb, sparse_depth, coarse], axis=-1
+        ).astype(self.dtype)
+        f1 = ConvBnRelu(64, dtype=self.dtype, name="guide_feat_s1")(feat_in, train)
+        f2 = ConvBnRelu(128, stride=2, dtype=self.dtype,
+                        name="guide_feat_s2")(f1, train)
+
+        valid = (sparse_depth > 1e-3).astype(jnp.float32)
+        depth = coarse
+
+        # s2: dilation-2 propagation at half resolution
+        b, h, w, _ = coarse.shape
+        d_s2 = jax.image.resize(depth, (b, h // 2, w // 2, 1), "bilinear")
+        s_s2 = jax.image.resize(sparse_depth, (b, h // 2, w // 2, 1), "nearest")
+        v_s2 = (s_s2 > 1e-3).astype(jnp.float32)
+        conf2 = jax.nn.softmax(
+            ConvBnRelu(3, dtype=self.dtype, name="kconf_s2")(f2, train)
+            .astype(jnp.float32), axis=-1,
+        )
+        outs2 = []
+        for i, k in enumerate((3, 5, 7)):
+            g = CSPNGuide(k, dtype=self.dtype, name=f"guide{k}_s2")(f2, train)
+            outs2.append(cspn_iterate(d_s2, g, s_s2, v_s2, k, 2, self.iters))
+        d_s2 = sum(conf2[..., i:i + 1] * o for i, o in enumerate(outs2))
+        depth = jax.image.resize(d_s2, depth.shape, "bilinear")
+        depth = valid * sparse_depth + (1 - valid) * depth
+
+        # s1: full-resolution propagation
+        conf1 = jax.nn.softmax(
+            ConvBnRelu(3, dtype=self.dtype, name="kconf_s1")(f1, train)
+            .astype(jnp.float32), axis=-1,
+        )
+        outs1 = []
+        for i, k in enumerate((3, 5, 7)):
+            g = CSPNGuide(k, dtype=self.dtype, name=f"guide{k}_s1")(f1, train)
+            outs1.append(cspn_iterate(depth, g, sparse_depth, valid, k, 1,
+                                      self.iters))
+        refined = sum(conf1[..., i:i + 1] * o for i, o in enumerate(outs1))
+        return refined, coarse, (cd, dd)
+
+
+class PENetC1(PENetC2):
+    """Single-scale DA-CSPN++ (reference PENet_C1: full-resolution only)."""
+
+    @nn.compact
+    def __call__(self, rgb, sparse_depth, calib_cu, calib_cv, calib_fu,
+                 calib_fv, train: bool = False):
+        coarse, cd, dd = ENet(self.widths, dtype=self.dtype, name="backbone")(
+            rgb, sparse_depth, calib_cu, calib_cv, calib_fu, calib_fv, train
+        )
+        feat_in = jnp.concatenate(
+            [rgb, sparse_depth, coarse], axis=-1
+        ).astype(self.dtype)
+        f1 = ConvBnRelu(64, dtype=self.dtype, name="guide_feat_s1")(feat_in, train)
+        valid = (sparse_depth > 1e-3).astype(jnp.float32)
+        conf1 = jax.nn.softmax(
+            ConvBnRelu(3, dtype=self.dtype, name="kconf_s1")(f1, train)
+            .astype(jnp.float32), axis=-1,
+        )
+        outs = []
+        for i, k in enumerate((3, 5, 7)):
+            g = CSPNGuide(k, dtype=self.dtype, name=f"guide{k}_s1")(f1, train)
+            outs.append(cspn_iterate(coarse, g, sparse_depth, valid, k, 1,
+                                     self.iters))
+        refined = sum(conf1[..., i:i + 1] * o for i, o in enumerate(outs))
+        return refined, coarse, (cd, dd)
+
+
+class PENetC4(PENetC2):
+    """Dilation-4 variant (reference PENet_C4): s2 propagation at dilation 4."""
+
+    @nn.compact
+    def __call__(self, rgb, sparse_depth, calib_cu, calib_cv, calib_fu,
+                 calib_fv, train: bool = False):
+        # same structure as C2 with the coarse-scale dilation doubled
+        coarse, cd, dd = ENet(self.widths, dtype=self.dtype, name="backbone")(
+            rgb, sparse_depth, calib_cu, calib_cv, calib_fu, calib_fv, train
+        )
+        feat_in = jnp.concatenate(
+            [rgb, sparse_depth, coarse], axis=-1
+        ).astype(self.dtype)
+        f1 = ConvBnRelu(64, dtype=self.dtype, name="guide_feat_s1")(feat_in, train)
+        valid = (sparse_depth > 1e-3).astype(jnp.float32)
+        conf1 = jax.nn.softmax(
+            ConvBnRelu(3, dtype=self.dtype, name="kconf_s1")(f1, train)
+            .astype(jnp.float32), axis=-1,
+        )
+        outs = []
+        for i, k in enumerate((3, 5, 7)):
+            g = CSPNGuide(k, dtype=self.dtype, name=f"guide{k}_s1")(f1, train)
+            outs.append(cspn_iterate(coarse, g, sparse_depth, valid, k, 4,
+                                     self.iters))
+        refined = sum(conf1[..., i:i + 1] * o for i, o in enumerate(outs))
+        return refined, coarse, (cd, dd)

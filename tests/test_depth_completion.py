@@ -78,3 +78,52 @@ class TestENet:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.2, losses[::8]
+
+
+class TestCSPN:
+    def test_propagation_pins_sparse_and_converges(self):
+        import jax
+        import jax.numpy as jnp
+        from dfu3d_tpu.models.depth_completion import CSPNGuide, cspn_iterate
+
+        rng = np.random.RandomState(0)
+        b, h, w = 1, 16, 16
+        sparse = np.zeros((b, h, w, 1), np.float32)
+        sparse[0, ::4, ::4, 0] = 5.0
+        valid = (sparse > 0).astype(np.float32)
+        depth0 = np.full((b, h, w, 1), 2.0, np.float32)
+        # uniform affinity guide (partition of unity)
+        k = 3
+        g = np.full((b, h, w, k * k), 1.0 / (k * k), np.float32)
+        out = np.asarray(cspn_iterate(
+            jnp.asarray(depth0), jnp.asarray(g), jnp.asarray(sparse),
+            jnp.asarray(valid), k, 1, 8,
+        ))
+        # sparse pixels pinned exactly; interior neighbors pulled toward 5
+        # (border pixels sink toward the zero padding — expected)
+        assert np.allclose(out[0, ::4, ::4, 0], 5.0)
+        assert out[0, 4, 5, 0] > 2.2
+
+    def test_penet_c2_forward(self):
+        import jax
+        import jax.numpy as jnp
+        from dfu3d_tpu.models.depth_completion import PENetC2
+
+        rng = np.random.RandomState(1)
+        rgb = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+        sd = np.zeros((1, 32, 64, 1), np.float32)
+        sd[0, ::3, ::5, 0] = rng.uniform(2, 30, sd[0, ::3, ::5, 0].shape)
+        model = PENetC2(widths=(8, 16, 32))
+        variables = model.init(jax.random.PRNGKey(0), rgb, jnp.asarray(sd),
+                               350.0, 160.0, 700.0, 700.0, False)
+        refined, coarse, _ = model.apply(
+            variables, rgb, jnp.asarray(sd), 350.0, 160.0, 700.0, 700.0,
+            False, mutable=["batch_stats"])[0]
+        assert refined.shape == (1, 32, 64, 1)
+        assert np.isfinite(np.asarray(refined)).all()
+        # pinning: valid sparse pixels survive the s2 stage re-injection
+        m = np.asarray(sd) > 0
+        # (final s1 stage mixes kernels, so exact pinning holds per-branch;
+        # check the refined map stays close at sparse pixels)
+        err = np.abs(np.asarray(refined)[m] - np.asarray(sd)[m])
+        assert np.median(err) < np.median(np.abs(np.asarray(coarse)[m] - np.asarray(sd)[m])) + 1.0
