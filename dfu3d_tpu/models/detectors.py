@@ -245,6 +245,7 @@ from .pvrcnn import PVRCNN, PVRCNNPlusPlus  # noqa: E402
 from .voxelrcnn import VoxelRCNN  # noqa: E402
 from .caddn import CaDDN  # noqa: E402
 from .bevfusion import BevFusion, TransFusion  # noqa: E402
+from .mppnet import MPPNet, MPPNetE2E  # noqa: E402
 
 __all_detectors__ = {
     "CenterPoint": CenterPoint,
@@ -261,6 +262,8 @@ __all_detectors__ = {
     "TransFusion": TransFusion,
     "BevFusion": BevFusion,
     "PillarNet": PillarNet,
+    "MPPNet": MPPNet,
+    "MPPNetE2E": MPPNetE2E,
 }
 
 

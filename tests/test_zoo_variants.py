@@ -170,3 +170,57 @@ class TestDSVTAndPillarNet:
         boxes, *_ = model.apply(variables, batch,
                                 method=lambda m, b: m.predict(b))
         assert np.isfinite(np.asarray(boxes)).all()
+
+
+class TestMPPNet:
+    def _batch_with_time(self, rng, b=2, n=384):
+        from test_model import make_batch
+
+        batch = make_batch(rng, b=b, n=n)
+        lag = rng.randint(0, 4, (b, n)).astype(np.float32) * 0.1
+        pts = np.concatenate([np.asarray(batch.points), lag[..., None]], axis=-1)
+        return batch._replace(points=pts)
+
+    @staticmethod
+    def _cfg(name):
+        from test_pvrcnn import pv_cfg
+
+        cfg = pv_cfg()
+        cfg["NAME"] = name
+        cfg["ROI_HEAD"] = {"NAME": "MPPNetHead", "NMS_PRE_MAXSIZE": 128,
+                           "NMS_POST_MAXSIZE": 8, "NMS_THRESH": 0.8,
+                           "NUM_FRAMES": 4, "NSAMPLE": 16, "RADIUS": 2.4,
+                           "HIDDEN": 16, "NUM_LAYERS": 1}
+        return cfg
+
+    def test_mppnet_and_e2e(self):
+        from dfu3d_tpu.models import build_network
+
+        from test_pvrcnn import pv_grid
+        from test_pointpillar import CLASSES
+
+        for name in ("MPPNet", "MPPNetE2E"):
+            model = build_network(self._cfg(name), CLASSES, pv_grid(),
+                                  max_voxels=512)
+            batch = self._batch_with_time(np.random.RandomState(7))
+            variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                                   train=False)
+            (loss, tb), _ = model.apply(variables, batch, train=True,
+                                        mutable=["batch_stats"])
+            assert np.isfinite(float(loss)) and float(loss) > 0, name
+            for k in ("rcnn_cls_loss", "rcnn_reg_loss"):
+                assert np.isfinite(float(tb[k])), (name, k)
+
+            def loss_fn(params):
+                (l, _), _ = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    batch, train=True, mutable=["batch_stats"])
+                return l
+
+            g = jax.grad(loss_fn)(variables["params"])
+            leaves = jax.tree_util.tree_leaves(g)
+            assert all(np.isfinite(np.asarray(x)).all() for x in leaves), name
+            boxes, *_ = model.apply(variables, batch,
+                                    method=lambda m, b: m.predict(b))
+            assert np.isfinite(np.asarray(boxes)).all(), name
