@@ -2,7 +2,9 @@ from .voxelize import (
     VoxelGrid,
     bev_scatter,
     dynamic_voxelize,
+    segment_broadcast,
     segment_max,
+    segment_max_fast,
     segment_mean,
     segment_sum,
     voxel_coords_of_points,

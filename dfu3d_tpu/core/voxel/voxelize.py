@@ -117,6 +117,69 @@ def segment_max(values, segment_ids, num_segments: int, empty_value: float = 0.0
     return jnp.where(jnp.isfinite(out), out, empty_value)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_max_fast(values, segment_ids, num_segments: int,
+                     indices_are_sorted: bool = False):
+    """segment_max (empty segments → 0) with a gather-only backward.
+
+    XLA's automatic gradient of scatter-max re-runs the scatter to locate the
+    winners — ~12 ms for a 240k-row, 64-ch reduction on a v5e (measured round
+    2) vs ~1 ms for the equivalent gather formulation
+        dx[i] = (x[i] == y[seg[i]]) · dy[seg[i]],
+    which needs only two row-gathers and elementwise compares. Ties receive
+    the gradient replicated (torch_scatter routes to one winner; the sum over
+    ties is the subgradient choice — documented deviation, irrelevant to
+    training in practice). Hot path of DynPillarVFE (models/vfe.py).
+    """
+    out = jax.ops.segment_max(values, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def _segment_max_fast_fwd(values, segment_ids, num_segments, indices_are_sorted):
+    out = segment_max_fast(values, segment_ids, num_segments, indices_are_sorted)
+    return out, (values, segment_ids, out)
+
+
+def _segment_max_fast_bwd(num_segments, indices_are_sorted, res, g):
+    values, segment_ids, out = res
+    safe = jnp.minimum(segment_ids, num_segments - 1)
+    in_range = (segment_ids < num_segments)[:, None]
+    winners = (values == jnp.take(out, safe, axis=0)) & in_range
+    dx = jnp.where(winners, jnp.take(g, safe, axis=0), 0.0).astype(values.dtype)
+    return dx, None
+
+
+segment_max_fast.defvjp(_segment_max_fast_fwd, _segment_max_fast_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_broadcast(table, segment_ids, num_segments: int,
+                      indices_are_sorted: bool = False):
+    """Row-gather table[seg[i]] with a segment-sum backward.
+
+    The automatic transpose of `jnp.take` is a generic scatter-add (~5 ms for
+    240k rows × 64 ch on a v5e); `segment_sum` over the same ids with the
+    sorted hint is ~3 ms. Out-of-range ids read row num_segments-1 forward
+    (callers mask those rows) and are dropped in the backward.
+    """
+    return jnp.take(table, jnp.minimum(segment_ids, num_segments - 1), axis=0)
+
+
+def _segment_broadcast_fwd(table, segment_ids, num_segments, indices_are_sorted):
+    return (segment_broadcast(table, segment_ids, num_segments,
+                              indices_are_sorted), segment_ids)
+
+
+def _segment_broadcast_bwd(num_segments, indices_are_sorted, segment_ids, g):
+    dt = jax.ops.segment_sum(g, segment_ids, num_segments=num_segments,
+                             indices_are_sorted=indices_are_sorted)
+    return dt, None
+
+
+segment_broadcast.defvjp(_segment_broadcast_fwd, _segment_broadcast_bwd)
+
+
 def bev_scatter(values, linear_idx, grid: VoxelGrid, reduce: str = "max"):
     """Scatter per-point features into the dense BEV grid.
 

@@ -35,9 +35,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Put a host batch pytree onto the mesh, sharded over 'data'."""
-    sharding = batch_sharding(mesh)
+def shard_batch(mesh: Mesh, batch, extra_leading_axis: bool = False):
+    """Put a host batch pytree onto the mesh, sharded over 'data'.
+
+    extra_leading_axis: the pytree has a scan/step axis in front of the batch
+    axis (trainer steps_per_dispatch stacking) — shard axis 1 instead.
+    """
+    spec = P(None, "data") if extra_leading_axis else P("data")
+    sharding = NamedSharding(mesh, spec)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

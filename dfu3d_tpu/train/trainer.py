@@ -18,7 +18,7 @@ import tqdm
 
 from ..parallel import make_mesh, replicate, shard_batch
 from .checkpoint import save_checkpoint
-from .train_state import make_train_step
+from .train_state import make_multi_train_step, make_train_step
 
 
 def disable_augmentation_hook(hook_config, dataloader, total_epochs, cur_epoch,
@@ -57,6 +57,14 @@ def train_model(model, tx, state, train_loader, cfg, args, ckpt_dir, logger,
         mesh = make_mesh(model=1)
     state = replicate(mesh, state)
     train_step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    # K>1 scans K steps inside one device program — identical math, 1/K the
+    # host→device dispatch overhead (train_state.make_multi_train_step)
+    steps_per_dispatch = max(int(getattr(args, "steps_per_dispatch", 1)), 1)
+    multi_step = (
+        jax.jit(make_multi_train_step(model, tx, steps_per_dispatch),
+                donate_argnums=0)
+        if steps_per_dispatch > 1 else None
+    )
 
     accumulated_iter = int(state.step)
     steps_per_epoch = len(train_loader)
@@ -88,15 +96,34 @@ def train_model(model, tx, state, train_loader, cfg, args, ckpt_dir, logger,
         data_time = batch_time = 0.0
         end = time.time()
         last_metrics = {}
+        pending = []  # buffered batches for the scanned multi-step path
         for batch, _meta in train_loader:
             data_time += time.time() - end
-            sharded = shard_batch(mesh, batch)
-            state, metrics = train_step(state, sharded)
-            accumulated_iter += 1
+            if multi_step is not None:
+                pending.append(batch)
+                if len(pending) < steps_per_dispatch:
+                    end = time.time()
+                    pbar.update(1)
+                    continue
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *pending
+                )
+                pending = []
+                sharded = shard_batch(mesh, stacked, extra_leading_axis=True)
+                state, metrics = multi_step(state, sharded)
+                accumulated_iter += steps_per_dispatch
+            else:
+                sharded = shard_batch(mesh, batch)
+                state, metrics = train_step(state, sharded)
+                accumulated_iter += 1
 
-            if accumulated_iter % 20 == 0 or accumulated_iter == 1:
+            if (accumulated_iter % 20 < steps_per_dispatch
+                    or accumulated_iter <= steps_per_dispatch):
                 # sync + log sparsely to keep the device busy
-                last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics = {
+                    k: float(v) for k, v in metrics.items()
+                    if getattr(v, "ndim", 0) == 0
+                }
                 cur_lr = float(lr_fn(accumulated_iter)) if lr_fn else 0.0
                 pbar.set_postfix(
                     loss=f"{last_metrics.get('loss', 0):.3f}", lr=f"{cur_lr:.2e}"
@@ -117,6 +144,9 @@ def train_model(model, tx, state, train_loader, cfg, args, ckpt_dir, logger,
                 save_checkpoint(ckpt_dir, state, -1, max_ckpt_save_num,
                                 name="latest_model")
                 last_latest_save = time.time()
+        for tail_batch in pending:  # epoch tail smaller than the scan window
+            state, metrics = train_step(state, shard_batch(mesh, tail_batch))
+            accumulated_iter += 1
         pbar.close()
 
         if logger:

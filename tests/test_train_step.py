@@ -83,3 +83,42 @@ class TestTrainStep:
         boxes, scores, labels, valid = jax.jit(make_eval_step(model))(state, batch)
         assert boxes.shape[-1] == 7
         assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+class TestMultiStep:
+    def test_multi_step_equals_sequential(self):
+        from dfu3d_tpu.train.train_state import make_multi_train_step
+
+        model = build_network(tiny_model_cfg(), CLASS_NAMES, tiny_grid())
+        tx, _ = build_optimizer(optim_cfg(), total_steps=50)
+        rng = np.random.RandomState(3)
+        batches = [make_batch(np.random.RandomState(10 + i)) for i in range(3)]
+        state0 = create_train_state(model, batches[0], tx)
+
+        step = jax.jit(make_train_step(model, tx))
+        state_seq = state0
+        seq_losses = []
+        for b in batches:
+            state_seq, m = step(state_seq, b)
+            seq_losses.append(float(m["loss"]))
+
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *batches
+        )
+        mstep = jax.jit(make_multi_train_step(model, tx, 3))
+        state_multi, metrics = mstep(state0, stacked)
+
+        np.testing.assert_allclose(
+            np.asarray(metrics["loss_steps"]), np.asarray(seq_losses),
+            rtol=1e-5,
+        )
+        # NOTE: exact param equality after K adam steps is not a stable
+        # property — scan body and standalone step compile to different
+        # programs, fp reassociation differs, and the loss's hard-threshold
+        # target assignment amplifies 1-ulp flips chaotically (observed even
+        # between two CPU runs of the same path). The loss-trace equality
+        # above IS the sequential-equivalence check: step i's loss is a
+        # function of the params produced by steps < i.
+        assert int(state_multi.step) == 3
+        for leaf in jax.tree_util.tree_leaves(state_multi.params):
+            assert np.all(np.isfinite(jax.device_get(leaf)))
