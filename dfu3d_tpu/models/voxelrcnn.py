@@ -36,13 +36,44 @@ class VoxelRCNN(AnchorDetectorBase):
         cfg = self.cfg
         nx, ny, nz = self.grid.grid_size
         bb3d = cfg.get("BACKBONE_3D", {})
-        self.encoder = SparseEncoder(
-            grid=SparseGrid(nx, ny, nz),
-            voxel_cap=self.max_voxels,
-            channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
-            out_channels=bb3d.get("OUT_CHANNELS", 128),
-            dtype=self.dtype,
-        )
+        self._focal = bb3d.get("NAME", "") == "VoxelBackBone8xFocal"
+        self._use_img = bool(bb3d.get("USE_IMG", False))
+        if self._focal:
+            from .sparse_backbone_focal import VoxelBackBone8xFocal
+
+            self.encoder = VoxelBackBone8xFocal(
+                grid=SparseGrid(nx, ny, nz),
+                voxel_cap=self.max_voxels,
+                point_cloud_range=tuple(self.grid.point_cloud_range),
+                voxel_size=tuple(self.grid.voxel_size),
+                channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
+                out_channels=bb3d.get("OUT_CHANNELS", 128),
+                topk=bb3d.get("TOPK", True),
+                threshold=float(bb3d.get("THRESHOLD", 0.5)),
+                kernel_size=int(bb3d.get("KERNEL_SIZE", 3)),
+                mask_multi=bb3d.get("MASK_MULTI", False),
+                skip_mask_kernel=bb3d.get("SKIP_MASK_KERNEL", False),
+                dtype=self.dtype,
+            )
+            if self._use_img:
+                # compact semantic-feature CNN standing in for the
+                # reference's pretrained DeepLabV3-ResNet50 (PyramidFeat2D,
+                # spconv_backbone_focal.py:128-149) — documented deviation:
+                # trained end-to-end, 16-ch output matching channel_reduce
+                from .backbone_2d import ConvBNReLU
+
+                self.img_convs = [
+                    ConvBNReLU(32, stride=2, dtype=self.dtype, name="img_c1"),
+                    ConvBNReLU(16, dtype=self.dtype, name="img_c2"),
+                ]
+        else:
+            self.encoder = SparseEncoder(
+                grid=SparseGrid(nx, ny, nz),
+                voxel_cap=self.max_voxels,
+                channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
+                out_channels=bb3d.get("OUT_CHANNELS", 128),
+                dtype=self.dtype,
+            )
         rh = cfg.get("ROI_HEAD", {})
         self.num_rois = int(rh.get("NMS_POST_MAXSIZE", 64))
         self.roi_pre_max = int(rh.get("NMS_PRE_MAXSIZE", 1024))
@@ -82,10 +113,54 @@ class VoxelRCNN(AnchorDetectorBase):
         feats, coords, valid = jax.vmap(voxelize_one)(
             batch.points, batch.points_valid
         )
-        bev_st, stages = self.encoder(feats, coords, valid, train)
+        if self._focal:
+            image_feats = (
+                self._voxel_image_feats(batch, coords, valid, train)
+                if self._use_img and hasattr(batch, "images") else None
+            )
+            bev_st, stages, focal_loss = self.encoder(
+                feats, coords, valid, train,
+                gt_boxes=batch.gt_boxes, gt_valid=batch.gt_valid,
+                image_feats=image_feats,
+            )
+        else:
+            bev_st, stages = self.encoder(feats, coords, valid, train)
+            focal_loss = jnp.zeros((), jnp.float32)
         bev = height_compression(bev_st).astype(self.dtype)
         spatial = self.backbone_2d(bev, train)
-        return self.dense_head(spatial), stages
+        return self.dense_head(spatial), stages, focal_loss
+
+    def _voxel_image_feats(self, batch, coords, valid, train: bool):
+        """Project stride-1 voxel centers into the (first) camera and sample
+        semantic features (construct_multimodal_features,
+        focal_sparse_conv.py:50-113; nearest sampling, zero outside)."""
+        imgs = batch.images[:, 0]                       # (B, H, W, 3)
+        feat = imgs
+        for conv in self.img_convs:
+            feat = conv(feat, train)                    # (B, H/2, W/2, 16)
+        fh, fw = feat.shape[1:3]
+        ih, iw = imgs.shape[1:3]
+
+        pcr = jnp.asarray(self.grid.point_cloud_range[:3], jnp.float32)
+        vs = jnp.asarray(self.grid.voxel_size, jnp.float32)
+        centers = (coords.astype(jnp.float32) + 0.5) * vs + pcr   # (B, V, 3)
+        ones = jnp.ones(centers.shape[:-1] + (1,), jnp.float32)
+        hom = jnp.concatenate([centers, ones], axis=-1)           # (B, V, 4)
+        cam = jnp.einsum("bij,bvj->bvi", batch.lidar_to_cam[:, 0], hom)
+        img_pt = jnp.einsum("bij,bvj->bvi", batch.cam_to_img[:, 0], cam)
+        depth = jnp.maximum(img_pt[..., 2], 1e-3)
+        u = img_pt[..., 0] / depth
+        v = img_pt[..., 1] / depth
+        inside = (
+            valid & (img_pt[..., 2] > 0)
+            & (u >= 0) & (u < iw) & (v >= 0) & (v < ih)
+        )
+        fu = jnp.clip((u * fw / iw).astype(jnp.int32), 0, fw - 1)
+        fv = jnp.clip((v * fh / ih).astype(jnp.int32), 0, fh - 1)
+        lin = fv * fw + fu                                        # (B, V)
+        flat = feat.reshape(feat.shape[0], fh * fw, feat.shape[-1])
+        sampled = jnp.take_along_axis(flat, lin[..., None], axis=1)
+        return jnp.where(inside[..., None], sampled, 0.0)
 
     def _features(self, batch, train: bool):
         return self._backbone(batch, train)[0]
@@ -147,7 +222,7 @@ class VoxelRCNN(AnchorDetectorBase):
     def __call__(self, batch, train: bool = True):
         from .anchor_head import anchor_head_loss
 
-        rpn_preds, stages = self._backbone(batch, train)
+        rpn_preds, stages, focal_loss = self._backbone(batch, train)
         targets = self.assign_targets(batch.gt_boxes, batch.gt_valid)
         lw = self.cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
         total, tb = anchor_head_loss(
@@ -184,13 +259,16 @@ class VoxelRCNN(AnchorDetectorBase):
             losses.weighted_smooth_l1(rcnn_reg, reg_t, rw)
         ) / batch.points.shape[0]
 
-        total = total + rcnn_cls_loss + rcnn_reg_loss
+        # loss_box_of_pts from the focal layers (SparseSequentialBatchdict
+        # accumulation, spconv_backbone_focal.py:29-37 + get_loss:203-208)
+        total = total + rcnn_cls_loss + rcnn_reg_loss + focal_loss
         tb.update({"rcnn_cls_loss": rcnn_cls_loss,
-                   "rcnn_reg_loss": rcnn_reg_loss})
+                   "rcnn_reg_loss": rcnn_reg_loss,
+                   "loss_box_of_pts": focal_loss})
         return total, tb
 
     def predict(self, batch):
-        rpn_preds, stages = self._backbone(batch, train=False)
+        rpn_preds, stages, _ = self._backbone(batch, train=False)
         rois, roi_scores, roi_valid = self._proposals(rpn_preds)
         rcnn_cls, rcnn_reg = self._roi_grid_pool(
             rois, roi_valid, stages, train=False
