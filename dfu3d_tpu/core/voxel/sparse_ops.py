@@ -63,24 +63,57 @@ DENSE_MAP_MAX_CELLS = 1 << 27
 
 
 def build_cell_map(grid: SparseGrid, coords, valid):
-    """Dense cell→slot map: (num_cells + 1,) int32, -1 where empty.
+    """Dense cell→slot map: (num_cells + 3,) int32, -1 where empty, with one
+    LEADING and two trailing -1 pad rows (map index p = cell p − 1).
 
     One scatter instead of a sort; lookups become one gather. This is the
     TPU-native replacement for spconv's GPU hash table (reference
     pcdet/ops/.../spconv hash lookups): random scatters/gathers of 4-byte
     slots beat searchsorted's 17-deep dependent-gather binary search by ~100×
     on TPU (measured round 2: 596 ms → ~5 ms for a 60k-voxel 27-point
-    neighbor table).
+    neighbor table). The pad layout lets `find_neighbors_via_map_packed`
+    fetch 3-consecutive-cell windows without clamping; invalid/out-of-grid
+    voxels scatter out of range (dropped).
     """
     v = coords.shape[0]
-    lin = linearize(grid, coords, valid)  # invalid → num_cells (spill slot)
-    cmap = jnp.full((grid.num_cells + 1,), -1, jnp.int32)
-    return cmap.at[lin].set(jnp.arange(v, dtype=jnp.int32), mode="drop")
+    lin = linearize(grid, coords, valid)
+    ids = jnp.where(lin < grid.num_cells, lin + 1, grid.num_cells + 3)
+    cmap = jnp.full((grid.num_cells + 3,), -1, jnp.int32)
+    return cmap.at[ids].set(jnp.arange(v, dtype=jnp.int32), mode="drop")
+
+
+def build_cell_map_batched(grid: SparseGrid, coords, valid):
+    """(B, num_cells+3) dense maps via ONE flat scatter.
+
+    `jax.vmap(build_cell_map)` lowers the batched scatter to a sequential
+    while-loop of 4·num_cells-byte dynamic-update-slices (measured round 2:
+    ~27 ms/step on the 90M-cell stride-1 KITTI grid at B=2). Scattering into
+    a flat (B·(num_cells+3),) buffer with batch-offset ids is a single
+    parallel scatter.
+    """
+    b, v = coords.shape[0], coords.shape[1]
+    stride = grid.num_cells + 3
+    lin = jax.vmap(lambda c, vv: linearize(grid, c, vv))(coords, valid)
+    ids = jnp.where(lin < grid.num_cells, lin + 1, b * stride)
+    ids = jnp.where(
+        ids < b * stride,
+        ids + (jnp.arange(b, dtype=ids.dtype) * stride)[:, None],
+        b * stride,
+    )
+    slots = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None], (b, v))
+    flat = jnp.full((b * stride,), -1, jnp.int32)
+    # voxelizer output cells are unique per element; every invalid slot
+    # scatters out of range (dropped) — declaring uniqueness lets XLA lower
+    # one parallel scatter instead of a sequential while loop
+    flat = flat.at[ids.reshape(-1)].set(slots.reshape(-1), mode="drop",
+                                        unique_indices=True)
+    return flat.reshape(b, stride)
 
 
 def find_neighbors_via_map(grid: SparseGrid, query_coords, query_valid,
                            cell_map, v: int, offsets):
-    """Dense-map twin of `find_neighbors`: (Q, K) indices, sentinel = v."""
+    """Dense-map twin of `find_neighbors`: (Q, K) indices, sentinel = v.
+    `cell_map` uses the padded layout of `build_cell_map` (cell c at p=c+1)."""
     off = jnp.asarray(offsets, jnp.int32)
     q = query_coords[:, None, :] + off[None, :, :]
     qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
@@ -90,10 +123,75 @@ def find_neighbors_via_map(grid: SparseGrid, query_coords, query_valid,
         & (qy >= 0) & (qy < grid.ny)
         & (qz >= 0) & (qz < grid.nz)
     )
-    qlin = jnp.where(ok, (qz * grid.ny + qy) * grid.nx + qx, grid.num_cells)
-    idx = jnp.take(cell_map, qlin.reshape(-1), axis=0).reshape(qlin.shape)
-    # the spill slot may hold a (invalid-voxel) index — mask by `ok` as well
+    qlin = jnp.where(ok, (qz * grid.ny + qy) * grid.nx + qx, grid.num_cells + 1)
+    idx = jnp.take(cell_map, qlin.reshape(-1) + 1, axis=0).reshape(qlin.shape)
     return jnp.where(ok & (idx >= 0), idx, v).astype(jnp.int32)
+
+
+def _is_x_packable(offsets) -> bool:
+    """True when `offsets` is kernel_offsets(3, ky, kz) layout: taps grouped
+    as k = a·(ky·kz) + g with ox = a−1 varying slowest — each (oy, oz) group's
+    three x-taps address 3 consecutive cells."""
+    off = np.asarray(offsets)
+    if off.shape[0] % 3 != 0 or off.shape[0] < 3:
+        return False
+    gk = off.shape[0] // 3
+    for a in range(3):
+        blk = off[a * gk:(a + 1) * gk]
+        if not np.all(blk[:, 0] == a - 1):
+            return False
+        if not np.array_equal(blk[:, 1:], off[:gk, 1:]):
+            return False
+    return True
+
+
+def find_neighbors_via_map_packed(grid: SparseGrid, query_coords, query_valid,
+                                  cell_map, v: int, offsets):
+    """x-packed neighbor lookup: fetch each (oy, oz) group's three x-taps as
+    ONE contiguous 3-cell window of the dense map (`lax.gather` with
+    slice_sizes=(3,)) — 9 window rows per query instead of 27 element rows.
+    Random gathers on TPU cost ~constant time PER ROW regardless of width
+    (measured round 2), and on the 90M-cell stride-1 KITTI grid the element
+    lookups were the single largest cost of the SECOND train step (~39 ms for
+    3.24M rows). Requires `offsets` in kernel_offsets(3, ky, kz) layout
+    (`_is_x_packable`); callers fall back to `find_neighbors_via_map`.
+
+    `cell_map` is the padded layout of `build_cell_map` (cell c at index
+    c + 1), so window starts never clamp: the window for cells
+    (L−1, L, L+1) begins at index L.
+    """
+    off = np.asarray(offsets)
+    k = off.shape[0]
+    gk = k // 3
+    qn = query_coords.shape[0]
+    # dx=0 plane: group cell lins (window centers); the center x equals the
+    # query's own x (ox = 0), in-range for every valid query
+    off0 = jnp.asarray(off[gk:2 * gk], jnp.int32)            # (gk, 3), ox=0
+    q = query_coords[:, None, :] + off0[None, :, :]          # (Q, gk, 3)
+    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
+    ctr_ok = (
+        query_valid[:, None]
+        & (qx >= 0) & (qx < grid.nx)
+        & (qy >= 0) & (qy < grid.ny)
+        & (qz >= 0) & (qz < grid.nz)
+    )
+    lin0 = jnp.where(ctr_ok, (qz * grid.ny + qy) * grid.nx + qx,
+                     grid.num_cells + 1)
+    start = lin0.reshape(-1, 1).astype(jnp.int32)
+    win = jax.lax.gather(
+        cell_map, start,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)),
+        slice_sizes=(3,), mode="clip",
+    ).reshape(qn, gk, 3)                                      # [q, g, dx]
+    # per-tap validity: x bound of each dx tap (windows crossing a y-row
+    # fetch the adjacent row's cells — masked here)
+    dx = jnp.asarray([-1, 0, 1], jnp.int32)
+    tap_x = qx[..., None] + dx[None, None, :]
+    ok = ctr_ok[..., None] & (tap_x >= 0) & (tap_x < grid.nx)
+    idx = jnp.where(ok & (win >= 0), win, v).astype(jnp.int32)
+    # (Q, gk, 3)[g, dx] → (Q, K) with k = dx_index·gk + g
+    return idx.transpose(0, 2, 1).reshape(qn, k)
 
 
 def find_neighbors(grid: SparseGrid, query_coords, query_valid, sorted_lin,
@@ -152,7 +250,71 @@ def transpose_down_neighbors(down_grid: SparseGrid, in_coords, in_valid,
     )
     qlin = jnp.where(ok, (qz * down_grid.ny + qy) * down_grid.nx + qx,
                      down_grid.num_cells)
-    idx = jnp.take(out_cmap, qlin.reshape(-1), axis=0).reshape(qlin.shape)
+    # padded map layout (build_cell_map): cell c lives at index c + 1
+    idx = jnp.take(out_cmap, qlin.reshape(-1) + 1, axis=0).reshape(qlin.shape)
+    return jnp.where(ok & (idx >= 0), idx, q_cap).astype(jnp.int32)
+
+
+def transpose_down_neighbors_packed(down_grid: SparseGrid, in_coords,
+                                    in_valid, out_cmap, q_cap: int, offsets):
+    """Packed twin of `transpose_down_neighbors` for full-3D stride-2 convs.
+
+    Every tap's implied output cell qc = (p − o)/2 with o ∈ {−1,0,1}³ lies in
+    the 2×2×2 parent window starting at (⌊(x−1)/2⌋, ⌊(y−1)/2⌋, ⌊(z−1)/2⌋), so
+    4 two-wide x-window gathers of the dense map replace 27 element gathers
+    (random gathers cost ~constant time per ROW on TPU — this was the single
+    largest op of the SECOND train step, ~35 ms/step at 60k voxels B=2).
+    Selecting each tap's cell from the fetched 8 is then pure VPU arithmetic
+    (take_along_axis over an 8-wide axis).
+    """
+    off = np.asarray(offsets)
+    assert off.shape[0] == 27 and np.all(np.abs(off) <= 1), "3x3x3 only"
+    x, y, z = in_coords[:, 0], in_coords[:, 1], in_coords[:, 2]
+    v = in_coords.shape[0]
+    qx0, qy0, qz0 = (x - 1) // 2, (y - 1) // 2, (z - 1) // 2
+
+    # 4 window rows per voxel: (dz, dy) ∈ {0,1}², each a 2-wide x slice
+    dyz = np.array([(dz, dy) for dz in (0, 1) for dy in (0, 1)], np.int32)
+    qy_r = qy0[:, None] + dyz[None, :, 1]           # (V, 4)
+    qz_r = qz0[:, None] + dyz[None, :, 0]
+    row_ok = (
+        in_valid[:, None]
+        & (qy_r >= 0) & (qy_r < down_grid.ny)
+        & (qz_r >= 0) & (qz_r < down_grid.nz)
+    )
+    c0 = (qz_r * down_grid.ny + qy_r) * down_grid.nx + qx0[:, None]
+    # map index of a 2-slice covering cells (c0, c0+1) is c0+1 (padded
+    # layout); invalid rows start at the trailing −1 pads. c0 ≥ −1 always.
+    start = jnp.where(row_ok, c0 + 1, down_grid.num_cells + 1)
+    win = jax.lax.gather(
+        out_cmap, start.reshape(-1, 1).astype(jnp.int32),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)),
+        slice_sizes=(2,), mode="clip",
+    ).reshape(v, 8)                                  # [(dz,dy) major, dx minor]
+
+    oj = jnp.asarray(off, jnp.int32)                 # (27, 3) = (ox, oy, oz)
+    tx = x[:, None] - oj[None, :, 0]                 # implied center per tap
+    ty = y[:, None] - oj[None, :, 1]
+    tz = z[:, None] - oj[None, :, 2]
+    par_ok = ((tx % 2) == 0) & ((ty % 2) == 0) & ((tz % 2) == 0)
+    qx, qy, qz = tx // 2, ty // 2, tz // 2
+    ok = (
+        in_valid[:, None] & par_ok
+        & (qx >= 0) & (qx < down_grid.nx)
+        & (qy >= 0) & (qy < down_grid.ny)
+        & (qz >= 0) & (qz < down_grid.nz)
+    )
+    wx = qx - qx0[:, None]                           # ∈ {0, 1} when ok
+    wy = qy - qy0[:, None]
+    wz = qz - qz0[:, None]
+    pos = jnp.clip((wz * 2 + wy) * 2 + wx, 0, 7)
+    # branchless 8-way select: take_along_axis over a tiny trailing axis
+    # lowers to a per-lane serialized gather on TPU (measured round 2: ~56
+    # ms/step across the three stages); 8 compare-selects are pure VPU
+    idx = jnp.full(pos.shape, -1, jnp.int32)
+    for j in range(8):
+        idx = jnp.where(pos == j, win[:, j:j + 1], idx)
     return jnp.where(ok & (idx >= 0), idx, q_cap).astype(jnp.int32)
 
 

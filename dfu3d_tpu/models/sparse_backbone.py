@@ -35,13 +35,16 @@ import numpy as np
 from ..core.voxel.sparse_ops import (
     DENSE_MAP_MAX_CELLS,
     SparseGrid,
-    build_cell_map,
+    _is_x_packable,
+    build_cell_map_batched,
     build_lookup,
     downsample_coords,
     find_neighbors,
     find_neighbors_via_map,
+    find_neighbors_via_map_packed,
     kernel_offsets,
     transpose_down_neighbors,
+    transpose_down_neighbors_packed,
 )
 
 
@@ -84,10 +87,17 @@ class SparseBatchNorm(nn.Module):
 
 
 def _batched_cell_map(grid: SparseGrid, coords, valid):
-    """(B, num_cells+1) dense cell→slot maps (None for oversized grids)."""
+    """(B, num_cells+3) dense cell→slot maps (None for oversized grids).
+
+    Wrapped in an optimization barrier: tables are saved as VJP residuals,
+    and without the barrier XLA rematerializes the scatter for every
+    backward consumer (measured round 2: the same table build appearing 3×
+    per step)."""
     if grid.num_cells > DENSE_MAP_MAX_CELLS:
         return None
-    return jax.vmap(lambda c, v: build_cell_map(grid, c, v))(coords, valid)
+    return jax.lax.optimization_barrier(
+        build_cell_map_batched(grid, coords, valid)
+    )
 
 
 def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
@@ -106,16 +116,22 @@ def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
     if grid.num_cells <= DENSE_MAP_MAX_CELLS:
         if cmap is None:
             cmap = _batched_cell_map(grid, coords, valid)
-        return jax.vmap(
-            lambda qc, qv, m: find_neighbors_via_map(grid, qc, qv, m, nvox,
-                                                     offsets)
-        )(query_coords, query_valid, cmap)
+        # x-packed window lookup (3 consecutive cells per fetch) when the
+        # offset layout allows — random gathers cost ~constant time per ROW,
+        # so 9 window rows beat 27 element rows ~3× on the big stage-1 maps
+        fn = (find_neighbors_via_map_packed if _is_x_packable(offsets)
+              else find_neighbors_via_map)
+        return jax.lax.optimization_barrier(jax.vmap(
+            lambda qc, qv, m: fn(grid, qc, qv, m, nvox, offsets)
+        )(query_coords, query_valid, cmap))
 
     def one(qc, qv, c, v):
         sorted_lin, order = build_lookup(grid, c, v)
         return find_neighbors(grid, qc, qv, sorted_lin, order, offsets)
 
-    return jax.vmap(one)(query_coords, query_valid, coords, valid)
+    return jax.lax.optimization_barrier(
+        jax.vmap(one)(query_coords, query_valid, coords, valid)
+    )
 
 
 def _gather_gemm(feats, valid, neighbor_idx, kernel):
@@ -143,26 +159,6 @@ def _gather_gemm(feats, valid, neighbor_idx, kernel):
     return out
 
 
-def _gather_outer(feats, valid, neighbor_idx, grads):
-    """dW[k] = Σ_{b,q} feats[nbr_k(q)]ᵀ · grads[q], accumulated in fp32."""
-    b, v, cin = feats.shape
-    q, k = neighbor_idx.shape[1], neighbor_idx.shape[2]
-    feats_masked = jnp.where(valid[..., None], feats, 0.0)
-    padded = jnp.concatenate(
-        [feats_masked, jnp.zeros((b, 1, cin), feats.dtype)], axis=1
-    ).reshape(b * (v + 1), cin)
-    base = (jnp.arange(b, dtype=jnp.int32) * (v + 1))[:, None]
-    dws = []
-    for j in range(k):
-        idx_j = (neighbor_idx[:, :, j] + base).reshape(-1)
-        g = jnp.take(padded, idx_j, axis=0).reshape(b, q, cin)
-        dws.append(
-            jnp.einsum("bqc,bqd->cd", g, grads,
-                       preferred_element_type=jnp.float32)
-        )
-    return jnp.stack(dws)
-
-
 @jax.custom_vjp
 def subm_gather_gemm(feats, valid, nbr, kernel):
     """Submanifold gather-GEMM with a gather-only backward.
@@ -185,16 +181,46 @@ def _subm_fwd(feats, valid, nbr, kernel):
     return _gather_gemm(feats, valid, nbr, kernel), (feats, valid, nbr, kernel)
 
 
+def _shared_gather_bwd(feats, valid, nbr, kernel, g, flip: bool):
+    """One gather pass serving BOTH dX and dW.
+
+    With t_j(p) denoting the transpose relation (nbr with the offset axis
+    reversed for SubM — centrosymmetry — or the explicit tnbr table for
+    strided convs):
+        dX[p]  = Σ_j g[t_j(p)] · Wᵀ[K-1-j  (SubM) / j (strided)]
+        dW[k]  = Σ_q feats[nbr_k(q)] gᵀ[q] = Σ_p feats[p] gᵀ[t_{K-1-k}(p)]
+    so the 27 gathered g-row tensors are shared — eliminating the second
+    27-row-gather pass (`_gather_outer`), which at ~3.7 ns/row dominates the
+    backward on TPU (measured round 2: ~12 ms per 60k-voxel layer).
+    """
+    b, v, cin = feats.shape
+    k = nbr.shape[2]
+    d = g.shape[-1]
+    g_padded = jnp.concatenate(
+        [g, jnp.zeros((b, 1, d), g.dtype)], axis=1
+    ).reshape(b * (g.shape[1] + 1), d)
+    base = (jnp.arange(b, dtype=jnp.int32) * (g.shape[1] + 1))[:, None]
+    feats_masked = jnp.where(valid[..., None], feats, 0.0)
+    dx = None
+    dws = [None] * k
+    for j in range(k):
+        idx_j = (nbr[:, :, j] + base).reshape(-1)
+        gt = jnp.take(g_padded, idx_j, axis=0).reshape(b, v, d)
+        wk = k - 1 - j if flip else j
+        contrib = jnp.einsum("bvd,cd->bvc", gt, kernel[wk])
+        dx = contrib if dx is None else dx + contrib
+        # dW[K-1-j] (flip) / dW[j-as-transposed] — fp32 accumulation
+        dws[wk] = jnp.einsum("bvc,bvd->cd", feats_masked, gt,
+                             preferred_element_type=jnp.float32)
+    dx = jnp.where(valid[..., None], dx, 0.0).astype(feats.dtype)
+    return dx, jnp.stack(dws).astype(kernel.dtype)
+
+
 def _subm_bwd(res, g):
     feats, valid, nbr, kernel = res
-    # dX[p] = Σ_j g[nbr_j(p)] · W[K-1-j]ᵀ  (all queries valid: invalid rows of
-    # g are already zero — the layer masks its output — and sentinel rows
-    # gather the zero pad row)
-    kt = jnp.flip(kernel, axis=0).transpose(0, 2, 1)
-    all_valid = jnp.ones(g.shape[:2], bool)
-    dx = _gather_gemm(g, all_valid, nbr, kt)
-    dx = jnp.where(valid[..., None], dx, 0.0).astype(feats.dtype)
-    dw = _gather_outer(feats, valid, nbr, g).astype(kernel.dtype)
+    # (invalid rows of g are already zero — the layer masks its output — and
+    # sentinel rows gather the zero pad row)
+    dx, dw = _shared_gather_bwd(feats, valid, nbr, kernel, g, flip=True)
     return dx, None, None, dw
 
 
@@ -222,11 +248,9 @@ def _down_fwd(feats, valid, nbr, tnbr, kernel):
 
 def _down_bwd(res, g):
     feats, valid, nbr, tnbr, kernel = res
-    kt = kernel.transpose(0, 2, 1)  # same k-index as tnbr: no flip
-    all_valid = jnp.ones(g.shape[:2], bool)
-    dx = _gather_gemm(g, all_valid, tnbr, kt)
-    dx = jnp.where(valid[..., None], dx, 0.0).astype(feats.dtype)
-    dw = _gather_outer(feats, valid, nbr, g).astype(kernel.dtype)
+    # dW[k] = Σ_q x[nbr_k(q)] gᵀ[q] = Σ_p x[p] gᵀ[tnbr_k(p)] — shares the
+    # gathered g rows with dX (same k-index as tnbr: no flip)
+    dx, dw = _shared_gather_bwd(feats, valid, tnbr, kernel, g, flip=False)
     return dx, None, None, None, dw
 
 
@@ -308,11 +332,17 @@ class SparseConv3dDown(nn.Module):
             # gather-only backward: build the output cell map + transpose
             # table (cheap scatters / element takes) so dX is a gather too
             out_cmap = _batched_cell_map(down, out_coords, out_valid)
-            tnbr = jax.vmap(
-                lambda ic, iv, m: transpose_down_neighbors(
-                    down, ic, iv, m, self.out_cap, offsets, z_only=self.z_only
-                )
-            )(st.coords, st.valid, out_cmap)
+            # packed 2×2×2-window transpose table for full-3D strides; the
+            # z_only conv_out (K=3, small map) keeps the element path
+            if self.z_only:
+                t_fn = lambda ic, iv, m: transpose_down_neighbors(  # noqa: E731
+                    down, ic, iv, m, self.out_cap, offsets, z_only=True)
+            else:
+                t_fn = lambda ic, iv, m: transpose_down_neighbors_packed(  # noqa: E731
+                    down, ic, iv, m, self.out_cap, offsets)
+            tnbr = jax.lax.optimization_barrier(
+                jax.vmap(t_fn)(st.coords, st.valid, out_cmap)
+            )
             out = down_gather_gemm(feats, st.valid, nbr, tnbr, wk)
         else:
             out = _gather_gemm(feats, st.valid, nbr, wk)

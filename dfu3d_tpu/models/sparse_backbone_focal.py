@@ -166,8 +166,9 @@ class FocalSparseConv(nn.Module):
             "FocalSparseConv requires a dense-cell-map-sized grid "
             f"(num_cells={g.num_cells})"
         )
+        # padded map layout (build_cell_map): cell c lives at index c + 1
         occupied = jnp.take_along_axis(
-            cmap, lin.reshape(b, -1), axis=1
+            cmap, lin.reshape(b, -1) + 1, axis=1
         ).reshape(lin.shape) >= 0
         cand_ok = cand_ok & ~occupied
 

@@ -134,3 +134,71 @@ class TestDownVJP:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gk_new), np.asarray(gk_ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestPackedTables:
+    """Packed window-gather table builders == their element-gather oracles."""
+
+    def test_batched_cell_map_matches_vmap(self):
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_cell_map, build_cell_map_batched)
+
+        rng = np.random.RandomState(3)
+        grid = SparseGrid(9, 7, 5)
+        coords, valid = _random_sparse(rng, 3, 64, grid, 50)
+        want = jax.vmap(lambda c, v: build_cell_map(grid, c, v))(coords, valid)
+        got = build_cell_map_batched(grid, coords, valid)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_transpose_packed_matches_element(self):
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            downsample_coords, transpose_down_neighbors_packed)
+
+        rng = np.random.RandomState(4)
+        b, v, q_cap = 2, 128, 96
+        # odd dims exercise the ceil-halving edges
+        grid = SparseGrid(13, 11, 7)
+        down = grid.down()
+        coords, valid = _random_sparse(rng, b, v, grid, 100)
+        out_coords, out_valid, _ = jax.vmap(
+            lambda c, m: downsample_coords(down, c, m, q_cap)
+        )(coords, valid)
+        out_cmap = _batched_cell_map(down, out_coords, out_valid)
+        offsets = kernel_offsets(3, 3, 3)
+        want = jax.vmap(
+            lambda ic, iv, m: transpose_down_neighbors(
+                down, ic, iv, m, q_cap, offsets)
+        )(coords, valid, out_cmap)
+        got = jax.vmap(
+            lambda ic, iv, m: transpose_down_neighbors_packed(
+                down, ic, iv, m, q_cap, offsets)
+        )(coords, valid, out_cmap)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_transpose_packed_origin_voxels(self):
+        """x=0/y=0/z=0 voxels have parent-window starts at −1 per axis —
+        clipped window rows must still resolve the valid taps."""
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            downsample_coords, transpose_down_neighbors_packed)
+
+        grid = SparseGrid(6, 6, 6)
+        down = grid.down()
+        coords = jnp.asarray(np.array(
+            [[[0, 0, 0], [1, 0, 0], [0, 1, 1], [5, 5, 5], [2, 3, 1]]],
+            np.int32))
+        valid = jnp.ones((1, 5), bool)
+        q_cap = 8
+        out_coords, out_valid, _ = jax.vmap(
+            lambda c, m: downsample_coords(down, c, m, q_cap)
+        )(coords, valid)
+        out_cmap = _batched_cell_map(down, out_coords, out_valid)
+        offsets = kernel_offsets(3, 3, 3)
+        want = jax.vmap(
+            lambda ic, iv, m: transpose_down_neighbors(
+                down, ic, iv, m, q_cap, offsets)
+        )(coords, valid, out_cmap)
+        got = jax.vmap(
+            lambda ic, iv, m: transpose_down_neighbors_packed(
+                down, ic, iv, m, q_cap, offsets)
+        )(coords, valid, out_cmap)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
