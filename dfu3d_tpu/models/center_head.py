@@ -91,6 +91,70 @@ class SeparateHead(nn.Module):
         return out
 
 
+class FusedSeparateHeads(nn.Module):
+    """All heads × all branches as G-fused convolutions.
+
+    The reference runs num_heads × num_branches separate small towers
+    (center_head.py SeparateHead) — 60 tiny 3×3 convs on the flagship, each
+    hitting the v5e MXU at poor utilisation and costing a dispatch in the
+    backward. Every tower reads the SAME shared feature map, so:
+      * all first convs fuse into ONE dense conv to G·Cmid channels,
+      * per-branch BatchNorm is per-channel — one BN over the concatenation
+        is numerically identical,
+      * mid/out convs become feature_group_count=G grouped convs (branch
+        outputs padded to a common width and sliced apart afterwards).
+    Weight layouts are convertible 1:1 from the reference's per-tower
+    checkpoints (train/torch_convert.fused_head transforms).
+
+    branch_specs: ((head_idx, name, out_channels), ...) in param order.
+    """
+
+    branch_specs: Tuple[Tuple[int, str, int], ...]
+    num_heads: int
+    num_conv: int
+    mid_channels: int
+    init_bias: float = -2.19
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        g = len(self.branch_specs)
+        cm = self.mid_channels
+        out_max = max(oc for _, _, oc in self.branch_specs)
+        h = x
+        for t in range(self.num_conv - 1):
+            h = nn.Conv(
+                g * cm, (3, 3), padding=1, use_bias=self.use_bias,
+                feature_group_count=1 if t == 0 else g,
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"conv{t}",
+            )(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, param_dtype=jnp.float32, name=f"bn{t}",
+            )(h)
+            h = nn.relu(h).astype(self.dtype)
+
+        bias_pattern = np.zeros(g * out_max, np.float32)
+        for i, (_, name, oc) in enumerate(self.branch_specs):
+            if name == "hm":
+                bias_pattern[i * out_max:i * out_max + oc] = self.init_bias
+        out = nn.Conv(
+            g * out_max, (3, 3), padding=1, use_bias=True,
+            feature_group_count=1 if self.num_conv == 1 else g,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                bias_pattern, dtype),
+            dtype=self.dtype, param_dtype=jnp.float32, name="out",
+        )(h)
+
+        preds = [dict() for _ in range(self.num_heads)]
+        for i, (hidx, name, oc) in enumerate(self.branch_specs):
+            preds[hidx][name] = out[
+                ..., i * out_max:i * out_max + oc
+            ].astype(jnp.float32)
+        return preds
+
+
 class CenterHead(nn.Module):
     """config: CLASS_NAMES_EACH_HEAD, SHARED_CONV_CHANNEL, NUM_HM_CONV,
     SEPARATE_HEAD_CFG, TARGET_ASSIGNER_CONFIG, LOSS_CONFIG, POST_PROCESSING."""
@@ -135,18 +199,40 @@ class CenterHead(nn.Module):
         ])
         self.shared_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
                                       param_dtype=jnp.float32)
-        heads = []
-        for h, names in enumerate(self.class_names_each_head):
-            hd = {k: (v["out_channels"], v["num_conv"]) for k, v in self.head_dict.items()}
-            hd["hm"] = (len(names), self.num_hm_conv)
-            heads.append(SeparateHead(head_dict=hd, use_bias=self.use_bias_before_norm,
-                                      dtype=self.dtype, name=f"head_{h}"))
-        self.heads_list = heads
+        # fused path: every (head, branch) tower shares depth and mid width →
+        # 2 fused convs instead of num_heads × num_branches × num_conv small
+        # ones (see FusedSeparateHeads); fall back to per-tower SeparateHead
+        # when depths differ (non-uniform num_conv configs)
+        convs = {self.num_hm_conv}
+        convs.update(v["num_conv"] for v in self.head_dict.values())
+        self._fused = len(convs) == 1
+        if self._fused:
+            specs = []
+            for h, names in enumerate(self.class_names_each_head):
+                hd = {k: v["out_channels"] for k, v in self.head_dict.items()}
+                hd["hm"] = len(names)
+                specs.extend((h, name, oc) for name, oc in hd.items())
+            self.fused_heads = FusedSeparateHeads(
+                branch_specs=tuple(specs), num_heads=self.num_heads,
+                num_conv=next(iter(convs)),
+                mid_channels=self.shared_conv_channel,
+                use_bias=self.use_bias_before_norm, dtype=self.dtype,
+            )
+        else:
+            heads = []
+            for h, names in enumerate(self.class_names_each_head):
+                hd = {k: (v["out_channels"], v["num_conv"]) for k, v in self.head_dict.items()}
+                hd["hm"] = (len(names), self.num_hm_conv)
+                heads.append(SeparateHead(head_dict=hd, use_bias=self.use_bias_before_norm,
+                                          dtype=self.dtype, name=f"head_{h}"))
+            self.heads_list = heads
 
     def __call__(self, spatial_features_2d, train: bool):
         x = self.shared_conv(spatial_features_2d)
         x = self.shared_bn(x, use_running_average=not train)
         x = nn.relu(x).astype(self.dtype)
+        if self._fused:
+            return self.fused_heads(x, train)
         return [head(x, train) for head in self.heads_list]
 
     # ------------------------------------------------------------------

@@ -33,6 +33,7 @@ __all__ = [
     "load_torch_checkpoint",
     "convert_state_dict",
     "centerpoint_pillar_mapping",
+    "swin_mapping",
     "apply_mapping",
 ]
 
@@ -103,8 +104,42 @@ def _conv(mapping, ours, ref, bias=False, transform=t_conv2d):
         mapping[("params",) + ours + ("bias",)] = (f"{ref}.bias", t_identity)
 
 
-def centerpoint_pillar_mapping(layer_nums=(3, 5, 5), num_heads=6,
-                               num_pfn=2) -> Dict[Tuple, Tuple[str, Callable]]:
+def t_fused_conv_cat(ws):
+    """Per-tower OIHW conv weights → one HWIO kernel concatenated on Cout."""
+    return np.concatenate([t_conv2d(w) for w in ws], axis=-1)
+
+
+def t_cat(ws):
+    return np.concatenate([np.asarray(w) for w in ws], axis=0)
+
+
+def _t_fused_out(out_chs, out_max):
+    def f(ws):
+        parts = []
+        for w, oc in zip(ws, out_chs):
+            w = t_conv2d(w)  # (kh, kw, cin, oc)
+            pad = np.zeros(w.shape[:3] + (out_max - oc,), w.dtype)
+            parts.append(np.concatenate([w, pad], axis=-1))
+        return np.concatenate(parts, axis=-1)
+    return f
+
+
+def _t_fused_out_bias(out_chs, out_max):
+    def f(ws):
+        parts = []
+        for w, oc in zip(ws, out_chs):
+            b = np.zeros(out_max, np.float32)
+            b[:oc] = np.asarray(w)
+            parts.append(b)
+        return np.concatenate(parts)
+    return f
+
+
+def centerpoint_pillar_mapping(
+    layer_nums=(3, 5, 5), num_heads=6, num_pfn=2,
+    hm_counts=(1, 2, 2, 1, 2, 2),
+    branch_dict=(("center", 2), ("center_z", 1), ("dim", 3), ("rot", 2)),
+) -> Dict[Tuple, Tuple[str, Callable]]:
     """Key mapping for the flagship CenterPoint-pillar (DynamicPillarVFE +
     BaseBEVBackbone + CenterHead; reference centerpoint_nuscenes2kitti.yaml).
 
@@ -141,6 +176,8 @@ def centerpoint_pillar_mapping(layer_nums=(3, 5, 5), num_heads=6,
     _conv(m, ("dense_head", "shared_conv", "layers_0"),
           "dense_head.shared_conv.0", bias=True)
     _bn(m, ("dense_head", "shared_bn"), "dense_head.shared_conv.1")
+    # per-tower keys (SeparateHead fallback layout — only present when the
+    # head's num_conv depths differ and fusion is disabled)
     for k in range(num_heads):
         for name in ("hm", "center", "center_z", "dim", "rot"):
             _conv(m, ("dense_head", f"head_{k}", f"{name}_conv0"),
@@ -149,6 +186,113 @@ def centerpoint_pillar_mapping(layer_nums=(3, 5, 5), num_heads=6,
                 f"dense_head.heads_list.{k}.{name}.0.1")
             _conv(m, ("dense_head", f"head_{k}", f"{name}_out"),
                   f"dense_head.heads_list.{k}.{name}.1", bias=True)
+    # fused layout (models/center_head.FusedSeparateHeads): torch's per-tower
+    # tensors concatenate along output channels in branch-spec order, out
+    # convs padded to the widest branch
+    specs = []
+    for h in range(num_heads):
+        for name, oc in branch_dict + (("hm", hm_counts[h]),):
+            specs.append((f"dense_head.heads_list.{h}.{name}", oc))
+    out_chs = [oc for _, oc in specs]
+    out_max = max(out_chs)
+    fh = ("params", "dense_head", "fused_heads")
+    m[fh + ("conv0", "kernel")] = (
+        tuple(f"{p}.0.0.weight" for p, _ in specs), t_fused_conv_cat)
+    m[fh + ("conv0", "bias")] = (
+        tuple(f"{p}.0.0.bias" for p, _ in specs), t_cat)
+    m[fh + ("bn0", "scale")] = (
+        tuple(f"{p}.0.1.weight" for p, _ in specs), t_cat)
+    m[fh + ("bn0", "bias")] = (
+        tuple(f"{p}.0.1.bias" for p, _ in specs), t_cat)
+    m[("batch_stats", "dense_head", "fused_heads", "bn0", "mean")] = (
+        tuple(f"{p}.0.1.running_mean" for p, _ in specs), t_cat)
+    m[("batch_stats", "dense_head", "fused_heads", "bn0", "var")] = (
+        tuple(f"{p}.0.1.running_var" for p, _ in specs), t_cat)
+    m[fh + ("out", "kernel")] = (
+        tuple(f"{p}.1.weight" for p, _ in specs),
+        _t_fused_out(out_chs, out_max))
+    m[fh + ("out", "bias")] = (
+        tuple(f"{p}.1.bias" for p, _ in specs),
+        _t_fused_out_bias(out_chs, out_max))
+    return m
+
+
+def _patchmerge_perm(c4: int) -> np.ndarray:
+    """Input-dim permutation torch-PatchMerging → ours.
+
+    The reference merges 2×2 patches with nn.Unfold (swin_utils.py:524-583),
+    whose output dim is (channel, kh, kw)-major: t = c·4 + kh·2 + kw. Ours
+    concatenates [p00, p10, p01, p11] blocks of C (models/image/swin.py
+    PatchMerging): o = g·C + c with g → (kh, kw) = (0,0),(1,0),(0,1),(1,1).
+    Returns perm with ours[o] = torch[perm[o]].
+    """
+    c = c4 // 4
+    kidx = [0, 2, 1, 3]  # g → kh·2 + kw
+    return np.asarray(
+        [ci * 4 + kidx[g] for g in range(4) for ci in range(c)], np.int64
+    )
+
+
+def t_merge_norm(w):
+    return np.asarray(w)[_patchmerge_perm(w.shape[0])]
+
+
+def t_merge_reduction(w):
+    w = t_linear(w)  # (4C, 2C)
+    return np.ascontiguousarray(w[_patchmerge_perm(w.shape[0])])
+
+
+def _ln(mapping, ours, ref):
+    mapping[("params",) + ours + ("scale",)] = (f"{ref}.weight", t_identity)
+    mapping[("params",) + ours + ("bias",)] = (f"{ref}.bias", t_identity)
+
+
+def _dense(mapping, ours, ref, bias=True):
+    mapping[("params",) + ours + ("kernel",)] = (f"{ref}.weight", t_linear)
+    if bias:
+        mapping[("params",) + ours + ("bias",)] = (f"{ref}.bias", t_identity)
+
+
+def swin_mapping(depths=(2, 2, 6, 2), out_indices=(1, 2, 3),
+                 prefix="image_backbone",
+                 ours_prefix=("image_backbone",)) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for SwinTransformer (reference backbones_image/swin.py,
+    mmdet checkpoint layout) → models/image/swin.SwinTransformer.
+
+    Validated semantics: the mmcv double_step_seq relative-position index
+    equals ours (both reduce to (dh+W−1)·(2W−1)+(dw+W−1)), qkv row packing is
+    (3, heads, d) in both, and the PatchMerging input ordering differs by the
+    fixed permutation `_patchmerge_perm` (tested numerically in
+    tests/test_torch_convert.py::TestSwinMapping).
+    """
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    p = prefix
+    op = tuple(ours_prefix)
+    _conv(m, op + ("patch_embed",), f"{p}.patch_embed.projection", bias=True)
+    _ln(m, op + ("patch_norm",), f"{p}.patch_embed.norm")
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            blk = op + (f"stage{i}_block{j}",)
+            ref = f"{p}.stages.{i}.blocks.{j}"
+            _ln(m, blk + ("norm1",), f"{ref}.norm1")
+            _ln(m, blk + ("norm2",), f"{ref}.norm2")
+            m[("params",) + blk + ("attn", "relative_position_bias_table")] = (
+                f"{ref}.attn.w_msa.relative_position_bias_table", t_identity)
+            _dense(m, blk + ("attn", "qkv"), f"{ref}.attn.w_msa.qkv")
+            _dense(m, blk + ("attn", "proj"), f"{ref}.attn.w_msa.proj")
+            _dense(m, blk + ("mlp_fc1",), f"{ref}.ffn.layers.0.0")
+            _dense(m, blk + ("mlp_fc2",), f"{ref}.ffn.layers.1")
+        if i in out_indices:
+            _ln(m, op + (f"out_norm{i}",), f"{p}.norm{i}")
+        if i < len(depths) - 1:
+            mg = op + (f"merge{i}",)
+            ref = f"{p}.stages.{i}.downsample"
+            m[("params",) + mg + ("norm", "scale")] = (
+                f"{ref}.norm.weight", t_merge_norm)
+            m[("params",) + mg + ("norm", "bias")] = (
+                f"{ref}.norm.bias", t_merge_norm)
+            m[("params",) + mg + ("reduction", "kernel")] = (
+                f"{ref}.reduction.weight", t_merge_reduction)
     return m
 
 
@@ -175,10 +319,20 @@ def apply_mapping(variables, state: Dict[str, np.ndarray],
     for ours, (ref_key, transform) in mapping.items():
         if ours not in paths:
             continue  # mapping covers alternatives (deblock Conv vs ConvT)
-        if ref_key not in state:
+        if isinstance(ref_key, tuple):
+            # multi-source entry: several torch tensors fuse into one of
+            # ours (e.g. FusedSeparateHeads); transform receives a list
+            absent = [r for r in ref_key if r not in state]
+            if absent:
+                missing.extend(absent)
+                continue
+            w = transform([state[r] for r in ref_key])
+            ref_key = ref_key[0]
+        elif ref_key not in state:
             missing.append(ref_key)
             continue
-        w = transform(state[ref_key])
+        else:
+            w = transform(state[ref_key])
         tgt = paths[ours]
         if tuple(w.shape) != tuple(tgt.shape):
             raise ValueError(

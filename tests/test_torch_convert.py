@@ -213,3 +213,219 @@ class TestFlagshipMappingCoverage:
             if key not in mapping:
                 unmapped.append(key)
         assert not unmapped, unmapped[:8]
+
+
+class TestSwinMapping:
+    """Swin converter: numerical parity of the two non-trivial pieces (patch
+    merging input ordering; windowed attention qkv packing + relative
+    position bias indexing) against torch emulations of the reference
+    modules (swin_utils.py PatchMerging, swin.py WindowMSA)."""
+
+    def test_patch_merging_equivalence(self):
+        rng = np.random.RandomState(0)
+        c, h, w = 6, 8, 10
+        x = rng.randn(1, h, w, c).astype(np.float32)
+
+        # torch emulation of the reference PatchMerging (Unfold k=2 s=2 on
+        # NCHW → LayerNorm(4C) → Linear(4C, 2C, bias=False))
+        unfold = torch.nn.Unfold(kernel_size=2, stride=2)
+        ln = torch.nn.LayerNorm(4 * c)
+        red = torch.nn.Linear(4 * c, 2 * c, bias=False)
+        with torch.no_grad():
+            ln.weight.copy_(torch.randn_like(ln.weight) * 0.3 + 1.0)
+            ln.bias.copy_(torch.randn_like(ln.bias) * 0.1)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        y = unfold(xt).transpose(1, 2)  # (1, L, 4C)
+        want = red(ln(y)).detach().numpy()
+
+        from dfu3d_tpu.models.image.swin import PatchMerging
+
+        pm = PatchMerging(dim=c)
+        variables = pm.init(jax.random.PRNGKey(0), jnp.asarray(
+            x.reshape(1, h * w, c)), h, w)
+        state = {
+            "m.norm.weight": ln.weight.detach().numpy(),
+            "m.norm.bias": ln.bias.detach().numpy(),
+            "m.reduction.weight": red.weight.detach().numpy(),
+        }
+        mapping = {
+            ("params", "norm", "scale"): ("m.norm.weight", tc.t_merge_norm),
+            ("params", "norm", "bias"): ("m.norm.bias", tc.t_merge_norm),
+            ("params", "reduction", "kernel"): (
+                "m.reduction.weight", tc.t_merge_reduction),
+        }
+        converted, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"]
+        got, _, _ = pm.apply(converted, jnp.asarray(x.reshape(1, h * w, c)),
+                             h, w)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    def test_window_attention_equivalence(self):
+        rng = np.random.RandomState(1)
+        ws, heads, c = 4, 2, 8
+        n = ws * ws
+        x = rng.randn(3, n, c).astype(np.float32)
+
+        qkv = torch.nn.Linear(c, 3 * c)
+        proj = torch.nn.Linear(c, c)
+        table = torch.randn((2 * ws - 1) ** 2, heads) * 0.5
+
+        # torch emulation of the reference WindowMSA forward (standard Swin
+        # attention; index formula equals ours — see swin_mapping docstring)
+        def torch_msa(xt):
+            b, n_, c_ = xt.shape
+            d = c_ // heads
+            q, k, v = qkv(xt).reshape(b, n_, 3, heads, d).permute(
+                2, 0, 3, 1, 4)
+            attn = (q * d ** -0.5) @ k.transpose(-2, -1)
+            hh, ww = np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")
+            flat = np.stack([hh.ravel(), ww.ravel()])
+            rel = flat[:, :, None] - flat[:, None, :] + ws - 1
+            idx = torch.from_numpy(rel[0] * (2 * ws - 1) + rel[1])
+            bias = table[idx.reshape(-1)].reshape(n_, n_, heads)
+            attn = attn + bias.permute(2, 0, 1)[None]
+            attn = attn.softmax(-1)
+            out = (attn @ v).transpose(1, 2).reshape(b, n_, c_)
+            return proj(out)
+
+        want = torch_msa(torch.from_numpy(x)).detach().numpy()
+
+        from dfu3d_tpu.models.image.swin import WindowAttention
+
+        wa = WindowAttention(dim=c, num_heads=heads, window_size=ws)
+        variables = wa.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        state = {
+            "a.qkv.weight": qkv.weight.detach().numpy(),
+            "a.qkv.bias": qkv.bias.detach().numpy(),
+            "a.proj.weight": proj.weight.detach().numpy(),
+            "a.proj.bias": proj.bias.detach().numpy(),
+            "a.rpb": table.numpy(),
+        }
+        mapping = {
+            ("params", "qkv", "kernel"): ("a.qkv.weight", tc.t_linear),
+            ("params", "qkv", "bias"): ("a.qkv.bias", tc.t_identity),
+            ("params", "proj", "kernel"): ("a.proj.weight", tc.t_linear),
+            ("params", "proj", "bias"): ("a.proj.bias", tc.t_identity),
+            ("params", "relative_position_bias_table"): ("a.rpb", tc.t_identity),
+        }
+        converted, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"]
+        got = wa.apply(converted, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    def test_full_mapping_coverage(self):
+        """Every param of a tiny SwinTransformer is covered by swin_mapping
+        and every mapped torch key is consumed (shapes agree)."""
+        from dfu3d_tpu.models.image.swin import SwinTransformer
+
+        depths, out_indices = (1, 1), (0, 1)
+        model = SwinTransformer(embed_dim=8, depths=depths, num_heads=(2, 2),
+                                window_size=4, patch_size=4,
+                                out_indices=out_indices)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        mapping = tc.swin_mapping(depths=depths, out_indices=out_indices,
+                                  prefix="ib", ours_prefix=())
+        flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+        keys = set()
+        unmapped = []
+        for path, leaf in flat:
+            key = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+            keys.add(key)
+            if key not in mapping:
+                unmapped.append(key)
+        assert not unmapped, unmapped[:8]
+        # fake torch state with exactly the right shapes → full conversion
+        state = {}
+        for ours, (ref_key, transform) in mapping.items():
+            leaf = None
+            for path, lf in flat:
+                key = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+                if key == ours:
+                    leaf = np.asarray(lf)
+            shape = leaf.shape
+            if transform is tc.t_linear:
+                shape = (shape[1], shape[0])
+            elif transform is tc.t_conv2d:
+                shape = (shape[3], shape[2], shape[0], shape[1])
+            elif transform is tc.t_merge_reduction:
+                shape = (shape[1], shape[0])
+            state[ref_key] = rngless = np.random.RandomState(0).randn(
+                *shape).astype(np.float32)
+        converted, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"][:5]
+        assert len(report["converted"]) == len(mapping)
+
+
+class TestFusedHeadEquality:
+    """Torch per-tower SeparateHead stacks (the reference layout) → fused
+    head conversion must produce identical outputs."""
+
+    def test_fused_conversion_equality(self):
+        torch.manual_seed(5)
+        num_heads, cm = 2, 8
+        hm_counts = (1, 2)
+        branch_dict = (("center", 2), ("center_z", 1), ("dim", 3), ("rot", 2))
+
+        # torch towers: {name}.0.0 conv, .0.1 bn, .1 out (reference
+        # SeparateHead, center_head.py:12-47)
+        towers = {}
+        state = {}
+        for h in range(num_heads):
+            branches = branch_dict + (("hm", hm_counts[h]),)
+            for name, oc in branches:
+                conv0 = torch.nn.Conv2d(cm, cm, 3, padding=1)
+                bn0 = torch.nn.BatchNorm2d(cm, eps=1e-5, momentum=0.1)
+                _sync_bn_torch(bn0)
+                out = torch.nn.Conv2d(cm, oc, 3, padding=1)
+                bn0.eval()
+                towers[(h, name)] = (conv0, bn0, out)
+                pre = f"dense_head.heads_list.{h}.{name}"
+                state[f"{pre}.0.0.weight"] = conv0.weight.detach().numpy()
+                state[f"{pre}.0.0.bias"] = conv0.bias.detach().numpy()
+                state[f"{pre}.0.1.weight"] = bn0.weight.detach().numpy()
+                state[f"{pre}.0.1.bias"] = bn0.bias.detach().numpy()
+                state[f"{pre}.0.1.running_mean"] = bn0.running_mean.numpy()
+                state[f"{pre}.0.1.running_var"] = bn0.running_var.numpy()
+                state[f"{pre}.1.weight"] = out.weight.detach().numpy()
+                state[f"{pre}.1.bias"] = out.bias.detach().numpy()
+
+        rng = np.random.RandomState(6)
+        x = rng.randn(1, 12, 12, cm).astype(np.float32)
+        want = {}
+        with torch.no_grad():
+            t = torch.tensor(x.transpose(0, 3, 1, 2))
+            for (h, name), (conv0, bn0, out) in towers.items():
+                y = out(torch.relu(bn0(conv0(t))))
+                want[(h, name)] = y.numpy().transpose(0, 2, 3, 1)
+
+        from dfu3d_tpu.models.center_head import FusedSeparateHeads
+
+        specs = []
+        for h in range(num_heads):
+            for name, oc in branch_dict + (("hm", hm_counts[h]),):
+                specs.append((h, name, oc))
+        model = FusedSeparateHeads(
+            branch_specs=tuple(specs), num_heads=num_heads, num_conv=2,
+            mid_channels=cm)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+        mapping = {
+            (k[0],) + k[2:]: v
+            for k, v in tc.centerpoint_pillar_mapping(
+                num_heads=num_heads, hm_counts=hm_counts,
+                branch_dict=branch_dict).items()
+            if len(k) > 2 and k[2] == "fused_heads"
+        }
+        # rebase: drop the dense_head/fused_heads scope (module tested bare)
+        mapping = {(k[0],) + k[2:]: v for k, v in mapping.items()}
+        new_vars, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"][:4]
+        preds = model.apply(
+            {"params": new_vars["params"],
+             "batch_stats": new_vars["batch_stats"]},
+            jnp.asarray(x), False)
+        for h in range(num_heads):
+            for name, oc in branch_dict + (("hm", hm_counts[h]),):
+                np.testing.assert_allclose(
+                    np.asarray(preds[h][name]), want[(h, name)],
+                    rtol=2e-4, atol=2e-4, err_msg=f"head {h} {name}")
