@@ -106,7 +106,51 @@ class WaymoDataset(DatasetTemplate):
             })
         return annos
 
+    def waymo_official_eval(self, det_annos, class_names, output_path=None):
+        """Official Waymo OD metric path (reference waymo_dataset.py:436-457
+        EVAL_METRIC == 'waymo': OpenPCDetWaymoDetectionMetricsEstimator).
+
+        The estimator needs TensorFlow + the waymo-open-dataset package; when
+        importable it runs in-process, otherwise the det/gt annos are dumped
+        as pickles (the estimator's exact input format) together with the
+        command to run it out-of-process — the same artifact contract as the
+        SEEM and NuScenesEval wrappers."""
+        out = Path(output_path or ".") / "waymo_official"
+        out.mkdir(parents=True, exist_ok=True)
+        gt_annos = [info["annos"] for info in self.infos]
+        with open(out / "det_annos.pkl", "wb") as f:
+            pickle.dump(det_annos, f)
+        with open(out / "gt_annos.pkl", "wb") as f:
+            pickle.dump(gt_annos, f)
+        try:
+            from waymo_open_dataset.metrics.python import (  # noqa: F401
+                detection_metrics,
+            )
+        except ImportError:
+            cmd = (
+                "python -m pcdet.datasets.waymo.waymo_eval "
+                f"--pred_infos {out / 'det_annos.pkl'} "
+                f"--gt_infos {out / 'gt_annos.pkl'} "
+                "--class_names Vehicle Pedestrian Cyclist --sampled_interval 1"
+            )
+            return (
+                "waymo-open-dataset not importable; annos dumped for "
+                f"out-of-process evaluation:\n  {cmd}\n",
+                {"det_annos": str(out / "det_annos.pkl"),
+                 "gt_annos": str(out / "gt_annos.pkl"),
+                 "command": cmd},
+            )
+        from ..eval.waymo_official import waymo_detection_metrics
+
+        ap_dict = waymo_detection_metrics(det_annos, gt_annos, class_names)
+        text = "\n".join(f"{k}: {v:.4f}" for k, v in ap_dict.items())
+        return text, ap_dict
+
     def evaluation(self, det_annos, class_names, **kwargs):
+        if str(self.dataset_cfg.get("EVAL_METRIC", "kitti")) == "waymo":
+            return self.waymo_official_eval(
+                det_annos, class_names, kwargs.get("output_path")
+            )
         from ..eval import kitti_eval
 
         def to_kitti(boxes, names, scores=None):

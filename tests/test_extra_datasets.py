@@ -222,6 +222,36 @@ class TestWaymo:
         _, ret = ds.evaluation(annos, classes)
         assert ret["Car_3d/moderate_R40"] > 95, ret
 
+        # EVAL_METRIC: waymo → official-metric artifact contract (the
+        # waymo-open-dataset package is absent here, so the annos are dumped
+        # with the out-of-process command; reference waymo_eval.py path)
+        ds.dataset_cfg["EVAL_METRIC"] = "waymo"
+        text, ret = ds.evaluation(annos, classes, output_path=str(tmp_path))
+        assert "det_annos" in ret and "command" in ret
+        with open(ret["det_annos"], "rb") as f:
+            dumped = pickle.load(f)
+        assert len(dumped) == len(annos)
+
+    def test_official_metric_marshalling(self):
+        """_flatten reproduces the reference's difficulty-upgrade and
+        class-id rules (waymo_eval.py:41-57)."""
+        from dfu3d_tpu.eval.waymo_official import _flatten
+
+        gt = [{
+            "name": np.array(["Vehicle", "Pedestrian", "Cyclist", "Vehicle",
+                              "Sign", "unknown"]),
+            "gt_boxes_lidar": np.tile(
+                np.array([[0, 0, 0, 4, 2, 1.5, 4.0]], np.float32), (6, 1)),
+            "num_points_in_gt": np.array([10, 3, 0, 7, 9, 5]),
+            "difficulty": np.array([0, 0, 0, 2, 0, 0]),
+        }]
+        fid, boxes, types, scores, diffs = _flatten(
+            gt, ["Vehicle", "Pedestrian", "Cyclist"], is_gt=True)
+        # Cyclist dropped (0 pts), Sign and unknown dropped (not in classes)
+        assert list(types) == [1, 2, 1]  # Vehicle, Pedestrian, Vehicle ids
+        assert list(diffs) == [1, 2, 2]  # >5 pts → L1, ≤5 → L2, explicit 2
+        assert np.all(np.abs(boxes[:, 6]) <= np.pi)  # heading wrapped
+
 
 class TestLyftPandasetArgo2:
     def test_lyft_map(self):
