@@ -155,6 +155,38 @@ class TestTransFusion:
         tb = _smoke(model, batch,
                     check_tb=("tf_cls_loss", "tf_reg_loss", "tf_hm_loss"))
 
+    def test_greedy_matches_hungarian(self):
+        """The pure-device greedy matcher (the axon-backend fallback for the
+        reference's HungarianAssigner3D) must agree with scipy's Hungarian on
+        realistic detection costs: ≥95% mean pair agreement and ≤1% total-cost
+        excess (validated round 2: 98.5% / 0.4% over 20 trials)."""
+        from dfu3d_tpu.models.transfusion_head import (greedy_match,
+                                                       hungarian_match)
+
+        rng = np.random.default_rng(0)
+        agree, ratio = [], []
+        for _ in range(10):
+            q, m = 200, 40
+            nvalid = int(rng.integers(3, m + 1))
+            gv = np.zeros(m, bool)
+            gv[:nvalid] = True
+            centers = rng.uniform(0, 100, (m, 2))
+            qpos = centers[rng.integers(0, nvalid, q)] + rng.normal(0, 5, (q, 2))
+            d = np.linalg.norm(qpos[:, None] - centers[None], axis=-1)
+            cost_np = (0.25 * d + 0.15 * rng.uniform(0, 1, (q, m))).astype(
+                np.float32)
+            cost = jnp.asarray(cost_np)
+            gvj = jnp.asarray(gv)
+            a = np.asarray(hungarian_match(cost, gvj))
+            b = np.asarray(greedy_match(cost, gvj))
+            both = (a >= 0) | (b >= 0)
+            agree.append(np.mean(a[both] == b[both]))
+            ca = cost_np[np.arange(q)[a >= 0], a[a >= 0]].sum()
+            cb = cost_np[np.arange(q)[b >= 0], b[b >= 0]].sum()
+            ratio.append(cb / max(ca, 1e-9))
+        assert np.mean(agree) >= 0.95
+        assert max(ratio) <= 1.01
+
 
 class TestBevFusion:
     def test_loss_grads_predict(self):
