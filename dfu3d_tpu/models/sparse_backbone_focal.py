@@ -166,10 +166,11 @@ class FocalSparseConv(nn.Module):
             "FocalSparseConv requires a dense-cell-map-sized grid "
             f"(num_cells={g.num_cells})"
         )
-        # padded map layout (build_cell_map): cell c lives at index c + 1
+        # padded map layout (build_cell_map): cell c at index c + 1, value
+        # slot+1 with 0 = empty
         occupied = jnp.take_along_axis(
             cmap, lin.reshape(b, -1) + 1, axis=1
-        ).reshape(lin.shape) >= 0
+        ).reshape(lin.shape) > 0
         cand_ok = cand_ok & ~occupied
 
         nk = v * (k3 - 1)
