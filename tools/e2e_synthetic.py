@@ -145,6 +145,13 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--platform", type=str, default="tpu",
                     choices=["tpu", "cpu"])
+    ap.add_argument("--evolve_rounds", type=int, default=0,
+                    help="self-evolution refine rounds after the initial "
+                         "train (predict@thresh → rebuild infos → retrain)")
+    ap.add_argument("--evolve_thresh", type=float, default=0.5)
+    ap.add_argument("--skip_initial", action="store_true",
+                    help="reuse an existing workdir's initial training "
+                         "(steps 1-5) and go straight to the evolve rounds")
     args = ap.parse_args()
 
     workdir = Path(args.workdir)
@@ -163,6 +170,24 @@ def main():
     else:
         print("[1/5] dataset exists, reusing", flush=True)
 
+    from dfu3d_tpu.data.kitti_dataset import KittiDataset, create_kitti_infos
+    from dfu3d_tpu.utils.config import CfgDict
+    import yaml as _yaml
+
+    cfg_file = build_cfg(root, workdir, batch_size=args.batch_size)
+    full_cfg = _yaml.safe_load(cfg_file.read_text())
+    rel_cfg = cfg_file.relative_to(workdir)
+    out_dir = workdir / "output" / "synthetic" / "centerpoint_synthetic" / "default"
+
+    if args.skip_initial:
+        ckpts = sorted((out_dir / "ckpt").glob("checkpoint_epoch_*"))
+        assert ckpts, f"--skip_initial: no checkpoints under {out_dir}"
+        result = {"value": float("nan"), "detail": "skipped (reused workdir)"}
+        print(f"[skip_initial] reusing {ckpts[-1]}", flush=True)
+        _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
+                    full_cfg, KittiDataset, create_kitti_infos, CfgDict)
+        return
+
     # 2. pseudo boxes (train split frames only need them, but run on all)
     print("[2/5] generating pseudo boxes ...", flush=True)
     r = subprocess.run(
@@ -180,13 +205,6 @@ def main():
 
     # 3. infos: train ← pseudo labels, val ← GT
     print("[3/5] building infos ...", flush=True)
-    from dfu3d_tpu.data.kitti_dataset import KittiDataset, create_kitti_infos
-    from dfu3d_tpu.utils.config import CfgDict
-
-    cfg_file = build_cfg(root, workdir, batch_size=args.batch_size)
-    import yaml as _yaml
-
-    full_cfg = _yaml.safe_load(cfg_file.read_text())
     ds_pseudo = CfgDict(full_cfg["DATA_CONFIG"])
     create_kitti_infos(ds_pseudo, ["Car"], root, root, splits=("train",))
     ds_gt = CfgDict(full_cfg["DATA_CONFIG"])
@@ -201,7 +219,6 @@ def main():
 
     # 4. train on pseudo labels
     print("[4/5] training ...", flush=True)
-    rel_cfg = cfg_file.relative_to(workdir)
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "train.py"),
          "--cfg_file", str(rel_cfg), "--epochs", str(args.epochs),
@@ -209,7 +226,6 @@ def main():
         cwd=workdir, env=env, capture_output=True, text=True, timeout=7200,
     )
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
-    out_dir = workdir / "output" / "synthetic" / "centerpoint_synthetic" / "default"
     ckpts = sorted((out_dir / "ckpt").glob("checkpoint_epoch_*"))
     assert ckpts, out_dir
 
@@ -239,6 +255,113 @@ def main():
         "frames": {"train": args.n_train, "val": args.n_val},
     }
     print(json.dumps(result))
+
+    _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
+                full_cfg, KittiDataset, create_kitti_infos, CfgDict)
+
+
+def _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
+                full_cfg, KittiDataset, create_kitti_infos, CfgDict):
+    """Self-evolution refine rounds (SURVEY §3.6: train → predict on the
+    train split at SCORE_THRESH → rebuild infos from the refined labels →
+    retrain from scratch → re-eval; the reference's initial/refine0/refine1
+    workflow, README.md:78-83)."""
+    ap_history = [result["value"]]
+    ckpt = ckpts[-1]
+    for r_idx in range(args.evolve_rounds):
+        tag = f"refine{r_idx}"
+        print(f"[evolve {tag}] predicting on train split ...", flush=True)
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "test.py"),
+             "--cfg_file", str(rel_cfg), "--ckpt", str(ckpt),
+             "--save_to_file", "--eval_tag", f"predict_{tag}",
+             "--workers", "2", "--set",
+             "DATA_CONFIG.DATA_SPLIT.test", "train",
+             "DATA_CONFIG.INFO_PATH.test", "['kitti_infos_train.pkl']"],
+            cwd=workdir, env=env, capture_output=True, text=True, timeout=3600,
+        )
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+        pred_dirs = sorted(out_dir.glob(
+            f"eval/epoch_*/train/predict_{tag}/final_result/data"))
+        assert pred_dirs, f"no prediction txts under {out_dir}"
+        pred_dir = pred_dirs[-1]
+
+        # keep confident boxes only (reference 'obtain pseudo boxes'
+        # SCORE_THRESH comment, centerpoint yaml:83)
+        label_dir = root / f"label_{tag}"
+        label_dir.mkdir(exist_ok=True)
+        frames = (root / "ImageSets" / "train.txt").read_text().split()
+        per_frame = {}
+        all_scores = []
+        for txt in frames:
+            src = pred_dir / f"{txt}.txt"
+            lines = [l for l in (src.read_text().splitlines()
+                                 if src.exists() else [])
+                     if len(l.split()) >= 16]
+            per_frame[txt] = lines
+            all_scores.extend(float(l.split()[15]) for l in lines)
+        thresh = args.evolve_thresh
+        if all_scores and max(all_scores) < thresh:
+            # weak-model safety: an undertrained round would emit zero
+            # labels and the next round would collapse — relax to the top
+            # 30% of the score distribution (floor 0.1)
+            import numpy as _np
+
+            thresh = max(0.1, float(_np.percentile(all_scores, 70.0)))
+            print(f"[evolve {tag}] no boxes ≥ {args.evolve_thresh}; "
+                  f"relaxed threshold to {thresh:.3f}", flush=True)
+        kept = total = 0
+        for txt in frames:
+            keep = [l for l in per_frame[txt]
+                    if float(l.split()[15]) >= thresh]
+            kept += len(keep)
+            total += len(per_frame[txt])
+            (label_dir / f"{txt}.txt").write_text("\n".join(keep) + "\n")
+        print(f"[evolve {tag}] kept {kept}/{total} boxes ≥ {thresh}",
+              flush=True)
+
+        print(f"[evolve {tag}] rebuilding infos + gt db ...", flush=True)
+        ds_ref = CfgDict(full_cfg["DATA_CONFIG"])
+        ds_ref["LABEL_DIR"] = f"label_{tag}"
+        create_kitti_infos(ds_ref, ["Car"], root, root, splits=("train",))
+        ds_r = KittiDataset(ds_ref, ["Car"], training=False, root_path=root)
+        ds_r.set_split("train")
+        ds_r.create_groundtruth_database(
+            root / "kitti_infos_train.pkl", root, used_classes=["Car"],
+            split="train",
+        )
+
+        print(f"[evolve {tag}] retraining ...", flush=True)
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "train.py"),
+             "--cfg_file", str(rel_cfg), "--epochs", str(args.epochs),
+             "--extra_tag", tag, "--workers", "2"],
+            cwd=workdir, env=env, capture_output=True, text=True,
+            timeout=7200,
+        )
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+        tag_dir = (workdir / "output" / "synthetic" / "centerpoint_synthetic"
+                   / tag)
+        tag_ckpts = sorted((tag_dir / "ckpt").glob("checkpoint_epoch_*"))
+        assert tag_ckpts, tag_dir
+        ckpt = tag_ckpts[-1]
+
+        print(f"[evolve {tag}] evaluating vs GT ...", flush=True)
+        r = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "test.py"),
+             "--cfg_file", str(rel_cfg), "--ckpt", str(ckpt),
+             "--extra_tag", tag, "--workers", "2"],
+            cwd=workdir, env=env, capture_output=True, text=True, timeout=3600,
+        )
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+        ap_lines = re.findall(r"AP_DICT (\{.*\})", r.stdout + r.stderr)
+        assert ap_lines, "no AP_DICT in refine eval output"
+        ap_r = float(json.loads(ap_lines[-1]).get("Car_3d/moderate_R40", 0.0))
+        ap_history.append(ap_r)
+        print(json.dumps({
+            "metric": f"synthetic_e2e_car_ap3d_moderate_R40_{tag}",
+            "value": ap_r, "unit": "AP", "ap_history": ap_history,
+        }), flush=True)
 
 
 if __name__ == "__main__":
