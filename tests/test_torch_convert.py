@@ -429,3 +429,54 @@ class TestFusedHeadEquality:
                 np.testing.assert_allclose(
                     np.asarray(preds[h][name]), want[(h, name)],
                     rtol=2e-4, atol=2e-4, err_msg=f"head {h} {name}")
+
+
+class TestCenterHeadFallback:
+    def test_nonuniform_depths_use_per_tower_heads(self):
+        """CenterHead must fall back to per-tower SeparateHead when branch
+        conv depths differ (fusion requires uniform num_conv)."""
+        from dfu3d_tpu.models.center_head import CenterHead
+
+        head = CenterHead(
+            class_names=["Car"], class_names_each_head=[["Car"]],
+            shared_conv_channel=8, num_hm_conv=3,  # ≠ branch num_conv (2)
+            head_order=["center", "center_z", "dim", "rot"],
+            head_dict={
+                "center": {"out_channels": 2, "num_conv": 2},
+                "center_z": {"out_channels": 1, "num_conv": 2},
+                "dim": {"out_channels": 3, "num_conv": 2},
+                "rot": {"out_channels": 2, "num_conv": 2},
+            },
+            point_cloud_range=[0, -10, -3, 20, 10, 1],
+            voxel_size=[0.1, 0.1, 0.2], feature_map_stride=8,
+        )
+        x = jnp.zeros((1, 8, 8, 8))
+        variables = head.init(jax.random.PRNGKey(0), x, False)
+        params = variables["params"]
+        assert "head_0" in params and "fused_heads" not in params
+        preds = head.apply(variables, x, False,
+                           mutable=["batch_stats"])[0]
+        assert set(preds[0]) == {"center", "center_z", "dim", "rot", "hm"}
+
+    def test_uniform_depths_use_fused(self):
+        from dfu3d_tpu.models.center_head import CenterHead
+
+        head = CenterHead(
+            class_names=["Car"], class_names_each_head=[["Car"]],
+            shared_conv_channel=8, num_hm_conv=2,
+            head_order=["center", "center_z", "dim", "rot"],
+            head_dict={
+                "center": {"out_channels": 2, "num_conv": 2},
+                "center_z": {"out_channels": 1, "num_conv": 2},
+                "dim": {"out_channels": 3, "num_conv": 2},
+                "rot": {"out_channels": 2, "num_conv": 2},
+            },
+            point_cloud_range=[0, -10, -3, 20, 10, 1],
+            voxel_size=[0.1, 0.1, 0.2], feature_map_stride=8,
+        )
+        x = jnp.zeros((1, 8, 8, 8))
+        variables = head.init(jax.random.PRNGKey(0), x, False)
+        assert "fused_heads" in variables["params"]
+        preds = head.apply(variables, x, False, mutable=["batch_stats"])[0]
+        assert preds[0]["hm"].shape[-1] == 1
+        assert preds[0]["dim"].shape[-1] == 3
