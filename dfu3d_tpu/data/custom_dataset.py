@@ -59,7 +59,7 @@ class CustomDataset(DatasetTemplate):
             return n * max(self.total_epochs, 1)
         return n
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, _retry=0):
         n = len(self.custom_infos) or len(self.sample_id_list)
         if self._merge_all_iters_to_one_epoch:
             index = index % n
@@ -81,7 +81,7 @@ class CustomDataset(DatasetTemplate):
         }
         data_dict = self.prepare_data(input_dict)
         if data_dict.pop("_needs_resample", False):
-            return self.__getitem__(np.random.randint(len(self)))
+            return self.__getitem__(self._resample(_retry), _retry + 1)
         return data_dict
 
     def get_infos(self, class_names, sample_id_list=None):

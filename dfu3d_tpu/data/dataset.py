@@ -120,6 +120,18 @@ class DatasetTemplate:
     def __getitem__(self, index):
         raise NotImplementedError
 
+    def _resample(self, retry: int) -> int:
+        """Bounded re-roll index for gt-less training frames (the reference's
+        resample-on-empty, dataset.py:214-218). Raises after 64 misses — with
+        an all-empty label set (e.g. an undertrained self-evolution round
+        emitting zero pseudo boxes) the unbounded form recurses forever."""
+        if retry >= 64:
+            raise RuntimeError(
+                "resample-on-empty exceeded 64 attempts: every sampled "
+                "frame has zero gt boxes — are the training labels empty?"
+            )
+        return int(np.random.randint(len(self)))
+
     def prepare_data(self, data_dict: Dict) -> Dict:
         """Augment → class filter + id append → encode → process.
 

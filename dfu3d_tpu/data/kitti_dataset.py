@@ -369,7 +369,7 @@ class KittiDataset(DatasetTemplate):
             return len(self.kitti_infos) * max(self.total_epochs, 1)
         return len(self.kitti_infos)
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, _retry=0):
         if self._merge_all_iters_to_one_epoch:
             index = index % len(self.kitti_infos)
         info = copy.deepcopy(self.kitti_infos[index])
@@ -418,7 +418,7 @@ class KittiDataset(DatasetTemplate):
 
         data_dict = self.prepare_data(data_dict=input_dict)
         if data_dict.pop("_needs_resample", False):
-            return self.__getitem__(np.random.randint(len(self)))
+            return self.__getitem__(self._resample(_retry), _retry + 1)
         data_dict["image_shape"] = img_shape
         return data_dict
 

@@ -210,7 +210,7 @@ class NuScenesDataset(DatasetTemplate):
             )
         return np.concatenate(parts, axis=0)
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, _retry=0):
         if self._merge_all_iters_to_one_epoch:
             index = index % len(self.infos)
         info = self.infos[index]
@@ -224,7 +224,7 @@ class NuScenesDataset(DatasetTemplate):
         }
         data_dict = self.prepare_data(input_dict)
         if data_dict.pop("_needs_resample", False):
-            return self.__getitem__(np.random.randint(len(self)))
+            return self.__getitem__(self._resample(_retry), _retry + 1)
         return data_dict
 
     def generate_prediction_dicts(self, batch_meta, pred_dicts, class_names,

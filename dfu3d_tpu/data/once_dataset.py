@@ -53,7 +53,7 @@ class ONCEDataset(DatasetTemplate):
             self.root_path / "data" / seq_id / "lidar_roof" / f"{frame_id}.bin"
         )
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, _retry=0):
         if self._merge_all_iters_to_one_epoch:
             index = index % len(self.once_infos)
         info = self.once_infos[index]
@@ -66,7 +66,7 @@ class ONCEDataset(DatasetTemplate):
             ).reshape(-1, 7).copy()
         data_dict = self.prepare_data(input_dict)
         if data_dict.pop("_needs_resample", False):
-            return self.__getitem__(np.random.randint(len(self)))
+            return self.__getitem__(self._resample(_retry), _retry + 1)
         return data_dict
 
     def generate_prediction_dicts(self, batch_meta, pred_dicts, class_names,

@@ -72,7 +72,7 @@ class WaymoDataset(DatasetTemplate):
             pts = pts[:, :4]
         return pts
 
-    def __getitem__(self, index):
+    def __getitem__(self, index, _retry=0):
         if self._merge_all_iters_to_one_epoch:
             index = index % len(self.infos)
         info = self.infos[index]
@@ -89,7 +89,7 @@ class WaymoDataset(DatasetTemplate):
             ).reshape(-1, annos["gt_boxes_lidar"].shape[-1])[keep, :7].copy()
         data_dict = self.prepare_data(input_dict)
         if data_dict.pop("_needs_resample", False):
-            return self.__getitem__(np.random.randint(len(self)))
+            return self.__getitem__(self._resample(_retry), _retry + 1)
         return data_dict
 
     def generate_prediction_dicts(self, batch_meta, pred_dicts, class_names,

@@ -319,6 +319,13 @@ def _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
             (label_dir / f"{txt}.txt").write_text("\n".join(keep) + "\n")
         print(f"[evolve {tag}] kept {kept}/{total} boxes ≥ {thresh}",
               flush=True)
+        # an all-empty label set would make every training frame resample
+        # forever (gt-less frames re-roll); fail fast instead
+        assert kept > 0, (
+            f"evolve {tag}: no predictions survived filtering — the model "
+            "is too weak to self-train; increase --epochs or lower "
+            "--evolve_thresh"
+        )
 
         print(f"[evolve {tag}] rebuilding infos + gt db ...", flush=True)
         ds_ref = CfgDict(full_cfg["DATA_CONFIG"])
