@@ -32,6 +32,11 @@ def parse_config():
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="train steps scanned inside one device program "
+                             "(amortizes per-dispatch host overhead — ~10 ms "
+                             "on remote-tunneled chips; logging/ckpt cadence "
+                             "rounds up to this granularity)")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     parser.add_argument("--num_epochs_to_eval", type=int, default=0)
     parser.add_argument("--dtype", type=str, default="bfloat16",
