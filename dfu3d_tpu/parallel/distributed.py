@@ -43,3 +43,36 @@ def init_distributed(coordinator_address: str | None = None,
         except Exception:
             pass  # single-host or already initialized
     return jax.process_index(), jax.process_count()
+
+
+def all_gather_objects(obj):
+    """Gather one picklable object per process; returns the list ordered by
+    process index (the reference's merge path: common_utils.merge_results_dist
+    → torch.distributed.all_gather_object, common_utils.py:223-257).
+
+    Single-process: [obj] without touching collectives. Multi-process:
+    pickle → uint8 buffer padded to the global max → one
+    `multihost_utils.process_allgather` → unpickle per rank.
+    """
+    import pickle
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64)
+    ).reshape(-1)
+    cap = int(sizes.max())
+    padded = np.zeros((cap,), np.uint8)
+    padded[: payload.size] = payload
+    stacked = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(stacked[i, : int(sizes[i])].tobytes())
+        for i in range(stacked.shape[0])
+    ]

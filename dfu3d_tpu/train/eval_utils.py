@@ -88,6 +88,30 @@ def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
         det_annos.extend(annos)
         num_frames += batch.batch_size
 
+    # cross-host merge (reference merge_results_dist, common_utils.py:223-257):
+    # each host evaluated its loader shard; gather every host's annos +
+    # recall counters, restore dataset order by frame_id, and compute AP on
+    # the union. Single-process: no-op.
+    if jax.process_count() > 1:
+        from ..parallel.distributed import all_gather_objects
+
+        gathered = all_gather_objects({"annos": det_annos, "metric": metric})
+        det_annos = [a for g in gathered for a in g["annos"]]
+        merged = {k: 0 for k in metric}
+        for g in gathered:
+            for k, v in g["metric"].items():
+                merged[k] += v
+        metric = merged
+        order = {
+            str(info.get("frame_id", info.get("point_cloud", {}).get(
+                "lidar_idx", i))): i
+            for i, info in enumerate(getattr(dataset, "infos", []))
+        }
+        det_annos.sort(
+            key=lambda a: order.get(str(a.get("frame_id")), len(order))
+        )
+        num_frames = len(det_annos)
+
     sec_per_example = (time.time() - start) / max(num_frames, 1)
     if logger:
         logger.info(f"eval: {sec_per_example:.4f} s/frame ({num_frames} frames)")

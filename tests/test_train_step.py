@@ -122,3 +122,12 @@ class TestMultiStep:
         assert int(state_multi.step) == 3
         for leaf in jax.tree_util.tree_leaves(state_multi.params):
             assert np.all(np.isfinite(jax.device_get(leaf)))
+
+
+class TestEvalMerge:
+    def test_all_gather_objects_single_process(self):
+        from dfu3d_tpu.parallel.distributed import all_gather_objects
+
+        obj = {"annos": [{"frame_id": "000001"}], "metric": {"gt_num": 3}}
+        out = all_gather_objects(obj)
+        assert out == [obj]
