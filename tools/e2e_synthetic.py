@@ -152,6 +152,10 @@ def main():
     ap.add_argument("--skip_initial", action="store_true",
                     help="reuse an existing workdir's initial training "
                          "(steps 1-5) and go straight to the evolve rounds")
+    ap.add_argument("--start_refine", type=int, default=0,
+                    help="first refine-round index (with --skip_initial, "
+                         "resumes from refine{start_refine-1}'s checkpoint "
+                         "when that round exists)")
     args = ap.parse_args()
 
     workdir = Path(args.workdir)
@@ -180,8 +184,14 @@ def main():
     out_dir = workdir / "output" / "synthetic" / "centerpoint_synthetic" / "default"
 
     if args.skip_initial:
-        ckpts = sorted((out_dir / "ckpt").glob("checkpoint_epoch_*"))
-        assert ckpts, f"--skip_initial: no checkpoints under {out_dir}"
+        prev_dir = out_dir
+        if args.start_refine > 0:
+            cand = (workdir / "output" / "synthetic" / "centerpoint_synthetic"
+                    / f"refine{args.start_refine - 1}")
+            if (cand / "ckpt").exists():
+                prev_dir = cand
+        ckpts = sorted((prev_dir / "ckpt").glob("checkpoint_epoch_*"))
+        assert ckpts, f"--skip_initial: no checkpoints under {prev_dir}"
         result = {"value": float("nan"), "detail": "skipped (reused workdir)"}
         print(f"[skip_initial] reusing {ckpts[-1]}", flush=True)
         _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
@@ -268,7 +278,8 @@ def _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
     workflow, README.md:78-83)."""
     ap_history = [result["value"]]
     ckpt = ckpts[-1]
-    for r_idx in range(args.evolve_rounds):
+    for r_idx in range(args.start_refine,
+                       args.start_refine + args.evolve_rounds):
         tag = f"refine{r_idx}"
         print(f"[evolve {tag}] predicting on train split ...", flush=True)
         r = subprocess.run(
