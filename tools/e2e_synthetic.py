@@ -28,7 +28,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def build_cfg(root: Path, workdir: Path, batch_size=8):
+def build_cfg(root: Path, workdir: Path, batch_size=8, model="pillar"):
     import yaml
 
     pcr = [0.0, -25.6, -5.0, 51.2, 25.6, 3.0]
@@ -127,9 +127,26 @@ def build_cfg(root: Path, workdir: Path, batch_size=8):
                          "PCT_START": 0.4, "DIV_FACTOR": 10,
                          "GRAD_NORM_CLIP": 10},
     }
+    if model == "voxel":
+        # sparse voxel CenterPoint (MeanVFE + VoxelBackBone8x): exercises
+        # the sparse-conv path end-to-end, same head/eval contract
+        cfg["DATA_CONFIG"]["DATA_PROCESSOR"][-1] = {
+            "NAME": "transform_points_to_voxels_placeholder",
+            "VOXEL_SIZE": [0.1, 0.1, 0.2],
+            "MAX_NUMBER_OF_VOXELS": {"train": 16000, "test": 16000},
+        }
+        cfg["MODEL"]["VFE"] = {"NAME": "MeanVFE"}
+        cfg["MODEL"]["BACKBONE_3D"] = {"NAME": "VoxelBackBone8x"}
+        cfg["MODEL"]["MAP_TO_BEV"] = {"NAME": "HeightCompression",
+                                      "NUM_BEV_FEATURES": 384}
+        cfg["MODEL"]["BACKBONE_2D"]["LAYER_STRIDES"] = [1, 2]
+        cfg["MODEL"]["DENSE_HEAD"]["TARGET_ASSIGNER_CONFIG"][
+            "FEATURE_MAP_STRIDE"] = 8
     cfg_dir = workdir / "cfgs" / "synthetic"
     cfg_dir.mkdir(parents=True, exist_ok=True)
-    cfg_file = cfg_dir / "centerpoint_synthetic.yaml"
+    stem = ("centerpoint_synthetic" if model == "pillar"
+            else f"centerpoint_synthetic_{model}")
+    cfg_file = cfg_dir / f"{stem}.yaml"
     cfg_file.write_text(yaml.safe_dump(cfg))
     return cfg_file
 
@@ -152,6 +169,10 @@ def main():
     ap.add_argument("--skip_initial", action="store_true",
                     help="reuse an existing workdir's initial training "
                          "(steps 1-5) and go straight to the evolve rounds")
+    ap.add_argument("--model", type=str, default="pillar",
+                    choices=["pillar", "voxel"],
+                    help="flagship pillar CenterPoint or the sparse voxel "
+                         "variant (MeanVFE + VoxelBackBone8x)")
     ap.add_argument("--start_refine", type=int, default=0,
                     help="first refine-round index (with --skip_initial, "
                          "resumes from refine{start_refine-1}'s checkpoint "
@@ -178,15 +199,16 @@ def main():
     from dfu3d_tpu.utils.config import CfgDict
     import yaml as _yaml
 
-    cfg_file = build_cfg(root, workdir, batch_size=args.batch_size)
+    cfg_file = build_cfg(root, workdir, batch_size=args.batch_size,
+                         model=args.model)
     full_cfg = _yaml.safe_load(cfg_file.read_text())
     rel_cfg = cfg_file.relative_to(workdir)
-    out_dir = workdir / "output" / "synthetic" / "centerpoint_synthetic" / "default"
+    out_dir = workdir / "output" / "synthetic" / cfg_file.stem / "default"
 
     if args.skip_initial:
         prev_dir = out_dir
         if args.start_refine > 0:
-            cand = (workdir / "output" / "synthetic" / "centerpoint_synthetic"
+            cand = (workdir / "output" / "synthetic" / cfg_file.stem
                     / f"refine{args.start_refine - 1}")
             if (cand / "ckpt").exists():
                 prev_dir = cand
@@ -358,8 +380,7 @@ def _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
             timeout=7200,
         )
         assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
-        tag_dir = (workdir / "output" / "synthetic" / "centerpoint_synthetic"
-                   / tag)
+        tag_dir = workdir / "output" / "synthetic" / Path(rel_cfg).stem / tag
         tag_ckpts = sorted((tag_dir / "ckpt").glob("checkpoint_epoch_*"))
         assert tag_ckpts, tag_dir
         ckpt = tag_ckpts[-1]

@@ -114,7 +114,14 @@ def main():
                  if p.NAME.startswith("transform_points_to_voxels")][-1]
     grid = VoxelGrid.create(cfg.DATA_CONFIG.POINT_CLOUD_RANGE, voxel_cfg.VOXEL_SIZE)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = build_network(cfg.MODEL, cfg.CLASS_NAMES, grid, dtype=dtype)
+    # static voxel capacity for the sparse (MeanVFE) path — reference
+    # MAX_NUMBER_OF_VOXELS, transform_points_to_voxels (data_processor.py:133)
+    overrides = {}
+    mv = voxel_cfg.get("MAX_NUMBER_OF_VOXELS", None)
+    if mv:
+        overrides["max_voxels"] = int(mv["train"] if hasattr(mv, "get") else mv)
+    model = build_network(cfg.MODEL, cfg.CLASS_NAMES, grid, dtype=dtype,
+                          **overrides)
 
     total_steps = len(train_loader) * epochs
     tx, lr_fn = build_optimizer(cfg.OPTIMIZATION, total_steps)
