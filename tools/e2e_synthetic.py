@@ -133,7 +133,10 @@ def build_cfg(root: Path, workdir: Path, batch_size=8, model="pillar"):
         cfg["DATA_CONFIG"]["DATA_PROCESSOR"][-1] = {
             "NAME": "transform_points_to_voxels_placeholder",
             "VOXEL_SIZE": [0.1, 0.1, 0.2],
-            "MAX_NUMBER_OF_VOXELS": {"train": 16000, "test": 16000},
+            # synthetic frames occupy ~28k voxels at this grid — cap above
+            # that or dynamic_voxelize truncates an angular sector of the
+            # scene (first-seen cells win) and AP collapses
+            "MAX_NUMBER_OF_VOXELS": {"train": 32000, "test": 32000},
         }
         cfg["MODEL"]["VFE"] = {"NAME": "MeanVFE"}
         cfg["MODEL"]["BACKBONE_3D"] = {"NAME": "VoxelBackBone8x"}
