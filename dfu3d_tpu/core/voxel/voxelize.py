@@ -206,7 +206,10 @@ class Voxelized(NamedTuple):
     voxel_coords: jnp.ndarray  # (V, 3) int32 (ix, iy, iz); invalid slots = -1
     voxel_valid: jnp.ndarray   # (V,) bool
     point_to_voxel: jnp.ndarray  # (N,) int32 slot in [0, V); invalid points → V
-    num_voxels: jnp.ndarray    # () int32
+    num_voxels: jnp.ndarray    # () int32 (capped at max_voxels)
+    num_unique: jnp.ndarray    # () int32 uncapped unique-cell count — when
+    # this exceeds max_voxels the tail of the scene was silently dropped
+    # (first-seen cells win); monitor voxel_overflow in train metrics
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "max_voxels"))
@@ -235,7 +238,8 @@ def dynamic_voxelize(grid: VoxelGrid, points, valid, max_voxels: int) -> Voxeliz
     # map back to original point order
     point_to_voxel = jnp.zeros((n,), dtype=jnp.int32).at[order].set(seg)
 
-    num_voxels = jnp.minimum(jnp.sum(is_start.astype(jnp.int32)), max_voxels)
+    num_unique = jnp.sum(is_start.astype(jnp.int32))
+    num_voxels = jnp.minimum(num_unique, max_voxels)
 
     # voxel coords: scatter the first point of each segment
     sorted_coords = coords[order]
@@ -245,4 +249,5 @@ def dynamic_voxelize(grid: VoxelGrid, points, valid, max_voxels: int) -> Voxeliz
         .set(sorted_coords, mode="drop")
     )
     voxel_valid = jnp.arange(max_voxels) < num_voxels
-    return Voxelized(voxel_coords, voxel_valid, point_to_voxel, num_voxels)
+    return Voxelized(voxel_coords, voxel_valid, point_to_voxel, num_voxels,
+                     num_unique)

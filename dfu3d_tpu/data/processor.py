@@ -24,6 +24,8 @@ class DataProcessor:
         self.mode = "train" if training else "test"
         self.grid_size = self.voxel_size = None
         self.max_voxels = None
+        self._occupancy_checked = 0
+        self._occupancy_warned = False
         self.data_processor_queue = []
         for cur_cfg in processor_configs:
             self.data_processor_queue.append(getattr(self, cur_cfg.NAME)(config=cur_cfg))
@@ -68,10 +70,48 @@ class DataProcessor:
         self.grid_size = np.round(grid_size).astype(np.int64)
         self.voxel_size = voxel_size
 
+    def _check_voxel_occupancy(self, data_dict):
+        """Sampled guard against a silently-truncating voxel cap.
+
+        The on-device voxelizer keeps the first MAX_NUMBER_OF_VOXELS
+        first-seen cells and drops the rest — an undersized cap removes a
+        contiguous angular sector of every scene and detection quality
+        collapses without any error (measured round 2: a 16k cap on ~28k
+        occupied cells took e2e AP from 43 to 0.4). Check the first few
+        frames on host (cheap numpy unique) and warn once.
+        """
+        if self.max_voxels is None or self._occupancy_checked >= 8:
+            return
+        self._occupancy_checked += 1
+        pts = data_dict.get("points")
+        if pts is None or len(pts) == 0:
+            return
+        pcr = self.point_cloud_range
+        vs = np.asarray(self.voxel_size)
+        ijk = np.floor((pts[:, :3] - pcr[:3]) / vs).astype(np.int64)
+        ok = np.all((ijk >= 0) & (ijk < self.grid_size), axis=1)
+        ijk = ijk[ok]
+        lin = (ijk[:, 2] * self.grid_size[1] + ijk[:, 1]) * self.grid_size[0] + ijk[:, 0]
+        n_unique = len(np.unique(lin))
+        if n_unique > self.max_voxels and not self._occupancy_warned:
+            self._occupancy_warned = True
+            import logging
+
+            logging.getLogger("dfu3d_tpu").warning(
+                "MAX_NUMBER_OF_VOXELS=%d but a sampled frame occupies %d "
+                "cells — the voxelizer will silently drop the overflow "
+                "(first-seen cells win). Raise the cap above the scene "
+                "occupancy.", self.max_voxels, n_unique,
+            )
+
     def transform_points_to_voxels_placeholder(self, data_dict=None, config=None):
         if data_dict is None:
             self._record_grid(config)
+            mv = config.get("MAX_NUMBER_OF_VOXELS", None)
+            if mv is not None:
+                self.max_voxels = int(mv[self.mode] if hasattr(mv, "get") else mv)
             return partial(self.transform_points_to_voxels_placeholder, config=config)
+        self._check_voxel_occupancy(data_dict)
         return data_dict
 
     def transform_points_to_voxels(self, data_dict=None, config=None):
@@ -81,6 +121,7 @@ class DataProcessor:
             self.max_voxels = config.MAX_NUMBER_OF_VOXELS[self.mode]
             self.max_points_per_voxel = config.get("MAX_POINTS_PER_VOXEL", 1)
             return partial(self.transform_points_to_voxels, config=config)
+        self._check_voxel_occupancy(data_dict)
         return data_dict
 
     def sample_points(self, data_dict=None, config=None):

@@ -125,3 +125,62 @@ class TestSphericalResample:
             )
         )
         assert mask.sum() >= 195  # collisions statistically negligible
+
+
+class TestOccupancyGuard:
+    def test_warns_on_undersized_cap(self, caplog):
+        """An undersized MAX_NUMBER_OF_VOXELS silently truncates scenes on
+        device — the processor's sampled host check must warn."""
+        import logging
+
+        from dfu3d_tpu.data.processor import DataProcessor
+        from dfu3d_tpu.utils.config import CfgDict
+
+        rng = np.random.RandomState(0)
+        proc = DataProcessor(
+            [CfgDict({"NAME": "transform_points_to_voxels_placeholder",
+                      "VOXEL_SIZE": [0.1, 0.1, 0.2],
+                      "MAX_NUMBER_OF_VOXELS": {"train": 10, "test": 10}})],
+            point_cloud_range=[0, -5, -3, 10, 5, 1],
+            training=True, num_point_features=4,
+        )
+        pts = np.zeros((500, 4), np.float32)
+        pts[:, 0] = rng.uniform(0, 10, 500)
+        pts[:, 1] = rng.uniform(-5, 5, 500)
+        pts[:, 2] = rng.uniform(-3, 1, 500)
+        with caplog.at_level(logging.WARNING, logger="dfu3d_tpu"):
+            proc.forward({"points": pts})
+        assert any("MAX_NUMBER_OF_VOXELS" in r.message for r in caplog.records)
+
+    def test_no_warning_when_cap_sufficient(self, caplog):
+        import logging
+
+        from dfu3d_tpu.data.processor import DataProcessor
+        from dfu3d_tpu.utils.config import CfgDict
+
+        proc = DataProcessor(
+            [CfgDict({"NAME": "transform_points_to_voxels_placeholder",
+                      "VOXEL_SIZE": [0.1, 0.1, 0.2],
+                      "MAX_NUMBER_OF_VOXELS": {"train": 100000,
+                                               "test": 100000}})],
+            point_cloud_range=[0, -5, -3, 10, 5, 1],
+            training=True, num_point_features=4,
+        )
+        pts = np.zeros((50, 4), np.float32)
+        pts[:, 0] = np.linspace(0.05, 9.95, 50)
+        with caplog.at_level(logging.WARNING, logger="dfu3d_tpu"):
+            proc.forward({"points": pts})
+        assert not any("MAX_NUMBER_OF_VOXELS" in r.message
+                       for r in caplog.records)
+
+    def test_num_unique_exposed(self):
+        from dfu3d_tpu.core.voxel import VoxelGrid, dynamic_voxelize
+
+        grid = VoxelGrid.create([0, 0, 0, 1.6, 1.6, 1.6], [0.4, 0.4, 0.4])
+        pts = jnp.asarray(np.array(
+            [[0.1, 0.1, 0.1], [0.5, 0.1, 0.1], [0.9, 0.1, 0.1],
+             [1.3, 0.1, 0.1], [0.1, 0.5, 0.1]], np.float32))
+        valid = jnp.ones(5, bool)
+        vox = dynamic_voxelize(grid, pts, valid, max_voxels=3)
+        assert int(vox.num_unique) == 5
+        assert int(vox.num_voxels) == 3
