@@ -1,0 +1,216 @@
+"""Logits-level parity against the REFERENCE'S OWN torch modules.
+
+Unlike test_torch_convert.py (which checks the converter against locally
+rebuilt torch mirrors), this file imports the reference tree itself from
+/root/reference — DynamicPillarVFE (dynamic_pillar_vfe.py:49),
+PointPillarScatter (pointpillar_scatter.py:5), BaseBEVBackbone
+(base_bev_backbone.py:6) and CenterHead (center_head.py:49) — random-inits
+them with the flagship config (centerpoint_nuscenes2kitti.yaml), converts
+their state_dict through train/torch_convert, and asserts the full forward
+path (points → pillar BEV → 2D backbone → all 6 CenterHead towers) produces
+equal logits from our JAX model. With no datasets in this container this is
+the strongest available proxy for the AP-within-0.5 baseline target: any
+box-AP difference on converted released checkpoints must then come from the
+decode/NMS/eval stages, each of which has its own oracle or golden test.
+
+The reverse direction (our checkpoint → reference eval) follows from the
+same mapping: every flagship parameter is covered bidirectionally
+(TestFlagshipMappingCoverage) and the transforms are invertible layout
+permutations.
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+if not Path("/root/reference/pcdet").is_dir():  # pragma: no cover
+    pytest.skip("reference tree not present", allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+from reference_stubs import EDict, install_reference_stubs, no_cuda
+
+from dfu3d_tpu.train import torch_convert as tc
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    install_reference_stubs()
+    from pcdet.models.backbones_2d.base_bev_backbone import BaseBEVBackbone
+    from pcdet.models.backbones_2d.map_to_bev.pointpillar_scatter import (
+        PointPillarScatter,
+    )
+    from pcdet.models.backbones_3d.vfe.dynamic_pillar_vfe import (
+        DynamicPillarVFE,
+    )
+    from pcdet.models.dense_heads.center_head import CenterHead
+
+    return dict(
+        DynamicPillarVFE=DynamicPillarVFE,
+        PointPillarScatter=PointPillarScatter,
+        BaseBEVBackbone=BaseBEVBackbone,
+        CenterHead=CenterHead,
+    )
+
+
+CLASS_NAMES = [
+    "Car", "Truck", "Construction_vehicle", "Bus", "Trailer",
+    "Barrier", "Motorcycle", "Bicycle", "Pedestrian", "Traffic_cone",
+]
+CLASS_NAMES_EACH_HEAD = [
+    ["Car"],
+    ["Truck", "Construction_vehicle"],
+    ["Bus", "Trailer"],
+    ["Barrier"],
+    ["Motorcycle", "Bicycle"],
+    ["Pedestrian", "Traffic_cone"],
+]
+# tiny flagship geometry (__graft_entry__._flagship(tiny=True))
+PCR = [0.0, -12.8, -5.0, 12.8, 12.8, 3.0]
+VOXEL = [0.2, 0.2, 8.0]
+GRID = [64, 128, 1]  # nx, ny, nz (x: 0→12.8 / 0.2 = 64; y: ±12.8 / 0.2 = 128)
+
+
+def _randomize_bn(module):
+    for m in module.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.weight.copy_(torch.randn_like(m.weight) * 0.2 + 1.0)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.5)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+
+
+def _build_reference_flagship(ref_modules):
+    """The reference's actual flagship module stack, randomly initialised,
+    with the state-dict key prefixes the converter expects (the prefixes the
+    reference's Detector3DTemplate topology produces)."""
+    vfe_cfg = EDict(dict(
+        USE_NORM=True, WITH_DISTANCE=False, USE_ABSLOTE_XYZ=True,
+        NUM_FILTERS=[64, 64],
+    ))
+    bb_cfg = EDict(dict(
+        LAYER_NUMS=[3, 5, 5], LAYER_STRIDES=[2, 2, 2],
+        NUM_FILTERS=[64, 128, 256], UPSAMPLE_STRIDES=[0.5, 1, 2],
+        NUM_UPSAMPLE_FILTERS=[128, 128, 128],
+    ))
+    dh_cfg = EDict(dict(
+        CLASS_NAMES_EACH_HEAD=CLASS_NAMES_EACH_HEAD,
+        SHARED_CONV_CHANNEL=64, USE_BIAS_BEFORE_NORM=True, NUM_HM_CONV=2,
+        SEPARATE_HEAD_CFG=dict(
+            HEAD_ORDER=["center", "center_z", "dim", "rot"],
+            HEAD_DICT={
+                "center": {"out_channels": 2, "num_conv": 2},
+                "center_z": {"out_channels": 1, "num_conv": 2},
+                "dim": {"out_channels": 3, "num_conv": 2},
+                "rot": {"out_channels": 2, "num_conv": 2},
+            },
+        ),
+        TARGET_ASSIGNER_CONFIG=dict(FEATURE_MAP_STRIDE=4),
+    ))
+
+    torch.manual_seed(0)
+    container = torch.nn.Module()
+    with no_cuda():
+        container.vfe = ref_modules["DynamicPillarVFE"](
+            vfe_cfg, num_point_features=4, voxel_size=VOXEL,
+            grid_size=np.array(GRID), point_cloud_range=np.array(PCR),
+        )
+        container.map_to_bev = ref_modules["PointPillarScatter"](
+            EDict(dict(NUM_BEV_FEATURES=64)), grid_size=GRID,
+        )
+        container.backbone_2d = ref_modules["BaseBEVBackbone"](
+            bb_cfg, input_channels=64,
+        )
+        container.dense_head = ref_modules["CenterHead"](
+            dh_cfg, input_channels=384, num_class=len(CLASS_NAMES),
+            class_names=CLASS_NAMES, grid_size=np.array(GRID),
+            point_cloud_range=np.array(PCR), voxel_size=VOXEL,
+            predict_boxes_when_training=False,
+        )
+    _randomize_bn(container)
+    container.eval()
+    return container
+
+
+def _ours_flagship():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _flagship, _synthetic_batch
+
+    cfg, grid, model = _flagship(dtype=jnp.float32, tiny=True)
+    batch = _synthetic_batch(2, 4096, 16, 12.0)
+    return model, batch
+
+
+def _torch_points(batch):
+    b, n, c = batch.points.shape
+    bidx = np.repeat(np.arange(b, dtype=np.float32), n)[:, None]
+    return torch.tensor(
+        np.concatenate([bidx, batch.points.reshape(b * n, c)], axis=1)
+    )
+
+
+class TestReferenceLogitsParity:
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        ref = _build_reference_flagship(ref_modules)
+        model, batch = _ours_flagship()
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False,
+            method=lambda m, b, train: m._features(b, train),
+        )
+        state = {k: v.numpy() for k, v in ref.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.centerpoint_pillar_mapping()
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"][:6]
+        converted = {
+            "params": new_vars["params"],
+            "batch_stats": new_vars["batch_stats"],
+        }
+        # run the reference's own forward on the same points
+        bd = {"points": _torch_points(batch), "batch_size": 2}
+        with torch.no_grad():
+            bd = ref.vfe(bd)
+            bd = ref.map_to_bev(bd)
+            bd = ref.backbone_2d(bd)
+            x = ref.dense_head.shared_conv(bd["spatial_features_2d"])
+            ref_preds = [
+                {k: v.numpy().transpose(0, 2, 3, 1) for k, v in h(x).items()}
+                for h in ref.dense_head.heads_list
+            ]
+        return ref, model, batch, converted, bd, ref_preds
+
+    def test_vfe_dense_bev_equality(self, setup):
+        """Reference DynamicPillarVFE+PointPillarScatter vs our fused
+        DynPillarVFE on identical raw points (both voxelize internally)."""
+        ref, model, batch, converted, bd, _ = setup
+        ours = model.apply(
+            converted, batch.points, batch.points_valid,
+            method=lambda m, p, v: m.vfe(p, v, False),
+        )
+        want = bd["spatial_features"].numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-4, atol=1e-4)
+
+    def test_full_path_logits_equality(self, setup):
+        """points → BEV → BaseBEVBackbone → all 6 CenterHead towers: every
+        branch (hm/center/center_z/dim/rot) equal within 1e-4."""
+        ref, model, batch, converted, _, ref_preds = setup
+        preds = model.apply(
+            converted, batch, train=False,
+            method=lambda m, b, train: m._features(b, train),
+        )
+        assert len(preds) == len(ref_preds) == 6
+        for k, (ours_d, ref_d) in enumerate(zip(preds, ref_preds)):
+            assert set(ours_d) == set(ref_d)
+            for name in ref_d:
+                np.testing.assert_allclose(
+                    np.asarray(ours_d[name]), ref_d[name],
+                    rtol=1e-4, atol=1e-4,
+                    err_msg=f"head {k} branch {name}",
+                )
