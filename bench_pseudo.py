@@ -19,7 +19,7 @@ import numpy as np
 def make_frame(seed=0, n_instances=8):
     from dfu3d_tpu.pseudo.synthetic import make_scene
 
-    frame, _gt = make_scene(seed=seed, n_instances=n_instances)
+    frame, _gt, _names = make_scene(seed=seed, n_instances=n_instances)
     return frame
 
 

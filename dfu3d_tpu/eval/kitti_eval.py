@@ -29,6 +29,12 @@ CLASS_TO_NAME = {
     7: "Bicycle",
     8: "Pedestrian",
     9: "Traffic_cone",
+    # classic-KITTI extras beyond the reference's 10-class nuScenes table
+    # (eval.py:723-744): the same uniform 0.5/0.5/0.25 overlap rule applies,
+    # so KITTI-style Cyclist/Van class lists evaluate under one protocol
+    10: "Cyclist",
+    11: "Van",
+    12: "Person_sitting",
 }
 CLASS_NAMES = [CLASS_TO_NAME[i] for i in range(len(CLASS_TO_NAME))]
 

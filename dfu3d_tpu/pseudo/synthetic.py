@@ -38,12 +38,25 @@ def make_calib() -> Calibration:
     return Calibration({"P2": _P2, "R0": _R0, "Tr_velo2cam": _V2C})
 
 
-def make_scene(seed=0, n_instances=8, n_ground=30000, pts_per_obj=600):
-    """One synthetic scene → (FrameInputs, gt_boxes (K, 7) lidar frame).
+# per-class (l, w, h) size ranges and point budgets for synthetic instances
+_CLASS_SPECS = {
+    "Car": dict(l=(3.5, 5.0), w=(1.6, 2.0), h=(1.4, 1.8), pts=600, shell=True),
+    "Pedestrian": dict(l=(0.6, 1.0), w=(0.5, 0.8), h=(1.6, 1.9), pts=200,
+                       shell=False),
+    "Cyclist": dict(l=(1.5, 2.0), w=(0.5, 0.8), h=(1.5, 1.8), pts=250,
+                    shell=False),
+}
 
-    Objects are box-shaped vehicle shells at known poses; the dense depth map
-    renders object points so the fusion pipeline produces in-instance pseudo
-    points; SEEM masks are the objects' pixel bboxes.
+
+def make_scene(seed=0, n_instances=8, n_ground=30000, pts_per_obj=600,
+               class_names=("Car",)):
+    """One synthetic scene → (FrameInputs, gt_boxes (K, 7), names (K,)).
+
+    Objects are box-shaped shells (vehicles) or filled blobs (VRUs) at known
+    poses; the dense depth map renders object points so the fusion pipeline
+    produces in-instance pseudo points; SEEM masks are the objects' projected
+    pixels. `class_names` cycles per instance; FrameInputs.classes indexes
+    into it (the factory's `thing_classes`).
     """
     from .factory import FrameInputs
 
@@ -54,23 +67,39 @@ def make_scene(seed=0, n_instances=8, n_ground=30000, pts_per_obj=600):
         rng.uniform(2, 60, n_ground), rng.uniform(-25, 25, n_ground),
         rng.normal(-1.7, 0.01, n_ground)], axis=1)]
     gt = []
-    for _ in range(n_instances):
-        cx, cy = rng.uniform(8, 45), rng.uniform(-10, 10, )
+    names = []
+    cls_ids = np.zeros(n_instances, int)
+    for i in range(n_instances):
+        cls_ids[i] = i % len(class_names)
+        name = class_names[cls_ids[i]]
+        spec = _CLASS_SPECS[name]
+        names.append(name)
+        near = spec["shell"] is False  # VRUs nearer so clusters stay dense
+        cx = rng.uniform(8, 30 if near else 45)
+        cy = rng.uniform(-10, 10)
         # keep objects inside the camera FOV (|y| < ~0.8x for this P2)
         cy = np.clip(cy, -0.5 * cx, 0.5 * cx)
-        l, w, h = rng.uniform(3.5, 5), rng.uniform(1.6, 2.0), rng.uniform(1.4, 1.8)
+        l = rng.uniform(*spec["l"])
+        w = rng.uniform(*spec["w"])
+        h = rng.uniform(*spec["h"])
+        n_pts = spec["pts"]
         th = rng.uniform(-np.pi, np.pi)
-        t = rng.uniform(0, 1, pts_per_obj)
-        side = rng.randint(0, 4, pts_per_obj)
-        xs = np.where(side == 0, -l / 2 + t * l, np.where(side == 1, l / 2,
-             np.where(side == 2, -l / 2 + t * l, -l / 2)))
-        ys = np.where(side == 0, -w / 2, np.where(side == 1, -w / 2 + t * w,
-             np.where(side == 2, w / 2, -w / 2 + t * w)))
-        c, s = np.cos(th), np.sin(th)
         z0 = -1.7
+        if spec["shell"]:
+            t = rng.uniform(0, 1, n_pts)
+            side = rng.randint(0, 4, n_pts)
+            xs = np.where(side == 0, -l / 2 + t * l, np.where(side == 1, l / 2,
+                 np.where(side == 2, -l / 2 + t * l, -l / 2)))
+            ys = np.where(side == 0, -w / 2, np.where(side == 1, -w / 2 + t * w,
+                 np.where(side == 2, w / 2, -w / 2 + t * w)))
+        else:
+            # filled blob (a pedestrian/cyclist returns points across the body)
+            xs = rng.uniform(-l / 2, l / 2, n_pts)
+            ys = rng.uniform(-w / 2, w / 2, n_pts)
+        c, s = np.cos(th), np.sin(th)
         pts.append(np.stack([
             xs * c - ys * s + cx, xs * s + ys * c + cy,
-            rng.uniform(z0, z0 + h, pts_per_obj)], axis=1))
+            rng.uniform(z0, z0 + h, n_pts)], axis=1))
         gt.append([cx, cy, z0 + h / 2, l, w, h, th])
     lidar = np.concatenate(pts).astype(np.float32)
     lidar = np.concatenate(
@@ -117,11 +146,11 @@ def make_scene(seed=0, n_instances=8, n_ground=30000, pts_per_obj=600):
 
     frame = FrameInputs(
         frame_id=f"{seed:06d}", lidar=lidar, image=image, depth=depth,
-        calib=calib, masks=masks, classes=np.zeros(n_instances, int),
+        calib=calib, masks=masks, classes=cls_ids,
         scores=rng.uniform(0.7, 1.0, n_instances).astype(np.float32),
         boxes2d=boxes2d,
     )
-    return frame, gt
+    return frame, gt, names
 
 
 def write_kitti_frame(root: Path, idx: str, frame, gt_boxes,
@@ -174,15 +203,17 @@ def write_kitti_frame(root: Path, idx: str, frame, gt_boxes,
     )
 
 
-def make_dataset(root: Path, n_train=64, n_val=16, n_instances=8, seed0=0):
+def make_dataset(root: Path, n_train=64, n_val=16, n_instances=8, seed0=0,
+                 class_names=("Car",)):
     """Full synthetic KITTI-format dataset with ImageSets splits."""
     root = Path(root)
     (root / "ImageSets").mkdir(parents=True, exist_ok=True)
     ids = []
     for i in range(n_train + n_val):
-        frame, gt = make_scene(seed=seed0 + i, n_instances=n_instances)
+        frame, gt, names = make_scene(seed=seed0 + i, n_instances=n_instances,
+                                      class_names=class_names)
         idx = f"{i:06d}"
-        write_kitti_frame(root, idx, frame, gt)
+        write_kitti_frame(root, idx, frame, gt, names=names)
         ids.append(idx)
     (root / "ImageSets" / "train.txt").write_text("\n".join(ids[:n_train]) + "\n")
     (root / "ImageSets" / "val.txt").write_text("\n".join(ids[n_train:]) + "\n")

@@ -30,16 +30,29 @@ import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
+
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def build_cfg(root: Path, workdir: Path, batch_size=8, model="pillar"):
+def head_groups(class_names):
+    """CLASS_NAMES_EACH_HEAD: vehicles and VRUs in separate grouped heads
+    (the reference's per-head class grouping, centerpoint yaml CLASS_NAMES_
+    EACH_HEAD) — exercises multi-head target assignment + multi-class NMS."""
+    vru = [c for c in class_names if c in ("Pedestrian", "Cyclist")]
+    veh = [c for c in class_names if c not in vru]
+    return [g for g in (veh, vru) if g]
+
+
+def build_cfg(root: Path, workdir: Path, batch_size=8, model="pillar",
+              class_names=("Car",)):
     import yaml
 
+    class_names = list(class_names)
     pcr = [0.0, -25.6, -5.0, 51.2, 25.6, 3.0]
     cfg = {
-        "CLASS_NAMES": ["Car"],
+        "CLASS_NAMES": class_names,
         "DATA_CONFIG": {
             "DATASET": "KittiDataset",
             "DATA_PATH": str(root),
@@ -57,8 +70,11 @@ def build_cfg(root: Path, workdir: Path, batch_size=8, model="pillar"):
                 "AUG_CONFIG_LIST": [
                     {"NAME": "gt_sampling",
                      "DB_INFO_PATH": ["kitti_dbinfos_train.pkl"],
-                     "PREPARE": {"filter_by_min_points": ["Car:5"]},
-                     "SAMPLE_GROUPS": ["Car:8"],
+                     "PREPARE": {"filter_by_min_points":
+                                 [f"{c}:5" for c in class_names]},
+                     "SAMPLE_GROUPS": [
+                         f"{c}:{8 if c == 'Car' else 4}" for c in class_names
+                     ],
                      "NUM_POINT_FEATURES": 4,
                      "LIMIT_WHOLE_SCENE": True},
                     {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x"]},
@@ -95,7 +111,7 @@ def build_cfg(root: Path, workdir: Path, batch_size=8, model="pillar"):
                             "NUM_UPSAMPLE_FILTERS": [64, 64]},
             "DENSE_HEAD": {
                 "NAME": "CenterHead", "CLASS_AGNOSTIC": False,
-                "CLASS_NAMES_EACH_HEAD": [["Car"]],
+                "CLASS_NAMES_EACH_HEAD": head_groups(class_names),
                 "SHARED_CONV_CHANNEL": 64, "USE_BIAS_BEFORE_NORM": True,
                 "NUM_HM_CONV": 2,
                 "SEPARATE_HEAD_CFG": {
@@ -155,6 +171,8 @@ def build_cfg(root: Path, workdir: Path, batch_size=8, model="pillar"):
     cfg_dir.mkdir(parents=True, exist_ok=True)
     stem = ("centerpoint_synthetic" if model == "pillar"
             else f"centerpoint_synthetic_{model}")
+    if len(class_names) > 1:
+        stem += f"_{len(class_names)}c"
     cfg_file = cfg_dir / f"{stem}.yaml"
     cfg_file.write_text(yaml.safe_dump(cfg))
     return cfg_file
@@ -186,7 +204,13 @@ def main():
                     help="first refine-round index (with --skip_initial, "
                          "resumes from refine{start_refine-1}'s checkpoint "
                          "when that round exists)")
+    ap.add_argument("--classes", type=str, default="Car",
+                    help="comma-separated class list, e.g. "
+                         "Car,Pedestrian,Cyclist — multi-class exercises "
+                         "the VRU factory radii, grouped heads, multi-class "
+                         "NMS and the per-class eval table")
     args = ap.parse_args()
+    class_names = args.classes.split(",")
 
     workdir = Path(args.workdir)
     root = workdir / "data"
@@ -200,7 +224,8 @@ def main():
         from dfu3d_tpu.pseudo.synthetic import make_dataset
 
         print("[1/5] synthesizing dataset ...", flush=True)
-        make_dataset(root, n_train=args.n_train, n_val=args.n_val)
+        make_dataset(root, n_train=args.n_train, n_val=args.n_val,
+                     class_names=class_names)
     else:
         print("[1/5] dataset exists, reusing", flush=True)
 
@@ -209,7 +234,7 @@ def main():
     import yaml as _yaml
 
     cfg_file = build_cfg(root, workdir, batch_size=args.batch_size,
-                         model=args.model)
+                         model=args.model, class_names=class_names)
     full_cfg = _yaml.safe_load(cfg_file.read_text())
     rel_cfg = cfg_file.relative_to(workdir)
     out_dir = workdir / "output" / "synthetic" / cfg_file.stem / "default"
@@ -226,14 +251,16 @@ def main():
         result = {"value": float("nan"), "detail": "skipped (reused workdir)"}
         print(f"[skip_initial] reusing {ckpts[-1]}", flush=True)
         _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
-                    full_cfg, KittiDataset, create_kitti_infos, CfgDict)
+                    full_cfg, KittiDataset, create_kitti_infos, CfgDict,
+                    class_names)
         return
 
     # 2. pseudo boxes (train split frames only need them, but run on all)
     print("[2/5] generating pseudo boxes ...", flush=True)
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "generate_pseudo_boxes.py"),
-         "--detpath", str(root), "--ground_z", "-1.7", "--z_offset", "0.0"],
+         "--detpath", str(root), "--ground_z", "-1.7", "--z_offset", "0.0",
+         "--classes", args.classes],
         env=env, capture_output=True, text=True, timeout=3600,
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -247,14 +274,14 @@ def main():
     # 3. infos: train ← pseudo labels, val ← GT
     print("[3/5] building infos ...", flush=True)
     ds_pseudo = CfgDict(full_cfg["DATA_CONFIG"])
-    create_kitti_infos(ds_pseudo, ["Car"], root, root, splits=("train",))
+    create_kitti_infos(ds_pseudo, class_names, root, root, splits=("train",))
     ds_gt = CfgDict(full_cfg["DATA_CONFIG"])
     ds_gt["LABEL_DIR"] = "label_2"
-    create_kitti_infos(ds_gt, ["Car"], root, root, splits=("val",))
-    ds = KittiDataset(ds_pseudo, ["Car"], training=False, root_path=root)
+    create_kitti_infos(ds_gt, class_names, root, root, splits=("val",))
+    ds = KittiDataset(ds_pseudo, class_names, training=False, root_path=root)
     ds.set_split("train")
     ds.create_groundtruth_database(
-        root / "kitti_infos_train.pkl", root, used_classes=["Car"],
+        root / "kitti_infos_train.pkl", root, used_classes=class_names,
         split="train",
     )
 
@@ -284,12 +311,14 @@ def main():
     if not ap_lines:
         print(text[-3000:])
         raise SystemExit("no AP_DICT found in eval output")
+    per_class = _per_class_ap(json.loads(ap_lines[-1]), class_names)
     m = {k: v for k, v in json.loads(ap_lines[-1]).items()
-         if "Car_3d" in k or "Car_bev" in k}
+         if any(f"{c}_3d" in k or f"{c}_bev" in k for c in class_names)}
     result = {
-        "metric": "synthetic_e2e_car_ap3d_moderate_R40",
-        "value": float(m.get("Car_3d/moderate_R40", 0.0)),
-        "unit": "AP",
+        "metric": "synthetic_e2e_ap3d_moderate_R40",
+        "value": float(np.mean(list(per_class.values()))),
+        "unit": "AP (mean over classes)",
+        "per_class": per_class,
         "detail": {k: float(v) for k, v in m.items()},
         "protocol": "trained on factory pseudo-labels only, eval vs GT",
         "epochs": args.epochs,
@@ -298,16 +327,25 @@ def main():
     print(json.dumps(result))
 
     _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
-                full_cfg, KittiDataset, create_kitti_infos, CfgDict)
+                full_cfg, KittiDataset, create_kitti_infos, CfgDict,
+                class_names)
+
+
+def _per_class_ap(ap_dict, class_names):
+    """{class: 3d moderate R40 AP} from an AP_DICT."""
+    return {c: float(ap_dict.get(f"{c}_3d/moderate_R40", 0.0))
+            for c in class_names}
 
 
 def _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
-                full_cfg, KittiDataset, create_kitti_infos, CfgDict):
+                full_cfg, KittiDataset, create_kitti_infos, CfgDict,
+                class_names):
     """Self-evolution refine rounds (SURVEY §3.6: train → predict on the
     train split at SCORE_THRESH → rebuild infos from the refined labels →
     retrain from scratch → re-eval; the reference's initial/refine0/refine1
     workflow, README.md:78-83)."""
     ap_history = [result["value"]]
+    per_class_history = [result.get("per_class")]
     ckpt = ckpts[-1]
     for r_idx in range(args.start_refine,
                        args.start_refine + args.evolve_rounds):
@@ -372,11 +410,12 @@ def _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
         print(f"[evolve {tag}] rebuilding infos + gt db ...", flush=True)
         ds_ref = CfgDict(full_cfg["DATA_CONFIG"])
         ds_ref["LABEL_DIR"] = f"label_{tag}"
-        create_kitti_infos(ds_ref, ["Car"], root, root, splits=("train",))
-        ds_r = KittiDataset(ds_ref, ["Car"], training=False, root_path=root)
+        create_kitti_infos(ds_ref, class_names, root, root, splits=("train",))
+        ds_r = KittiDataset(ds_ref, class_names, training=False,
+                            root_path=root)
         ds_r.set_split("train")
         ds_r.create_groundtruth_database(
-            root / "kitti_infos_train.pkl", root, used_classes=["Car"],
+            root / "kitti_infos_train.pkl", root, used_classes=class_names,
             split="train",
         )
 
@@ -404,11 +443,15 @@ def _run_evolve(args, workdir, root, env, rel_cfg, out_dir, ckpts, result,
         assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
         ap_lines = re.findall(r"AP_DICT (\{.*\})", r.stdout + r.stderr)
         assert ap_lines, "no AP_DICT in refine eval output"
-        ap_r = float(json.loads(ap_lines[-1]).get("Car_3d/moderate_R40", 0.0))
+        per_class = _per_class_ap(json.loads(ap_lines[-1]), class_names)
+        ap_r = float(np.mean(list(per_class.values())))
         ap_history.append(ap_r)
+        per_class_history.append(per_class)
         print(json.dumps({
-            "metric": f"synthetic_e2e_car_ap3d_moderate_R40_{tag}",
-            "value": ap_r, "unit": "AP", "ap_history": ap_history,
+            "metric": f"synthetic_e2e_ap3d_moderate_R40_{tag}",
+            "value": ap_r, "unit": "AP (mean over classes)",
+            "per_class": per_class, "ap_history": ap_history,
+            "per_class_history": per_class_history,
         }), flush=True)
 
 

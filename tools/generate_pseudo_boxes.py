@@ -29,9 +29,27 @@ def main():
                              "(reference GenerateAnns hardcodes 0)")
     parser.add_argument("--z_offset", type=float, default=1.5,
                         help="box bottom offset (reference hardcodes 1.5)")
+    parser.add_argument("--dataset", type=str, default="nuscenes",
+                        choices=["nuscenes", "kitti", "waymo", "pandaset"],
+                        help="factory variant preset: class size/height "
+                             "priors + center placement (reference "
+                             "my_loader_KittiPandasetWaymo.py:883-1010; "
+                             "nuscenes = the flagship path, no priors)")
+    parser.add_argument("--center_type", type=str, default=None,
+                        choices=["ori", "prior_centerline",
+                                 "prior_linecorner", "prior_center"],
+                        help="override the preset's center placement strategy")
+    parser.add_argument("--classes", type=str, default=None,
+                        help="comma-separated thing-class vocabulary the "
+                             "seem/<idx>.npz class indices point into "
+                             "(default: the 10-class nuScenes list; the "
+                             "reference's SEEM vocab is set at "
+                             "vis_utils.py:181-182)")
     args = parser.parse_args()
 
-    from dfu3d_tpu.pseudo.factory import PseudoBoxFactory, load_frame_inputs
+    from dfu3d_tpu.pseudo.factory import (
+        FACTORY_PRESETS, PseudoBoxFactory, load_frame_inputs,
+    )
     from dfu3d_tpu.data.kitti_dataset import KittiDataset
     from dfu3d_tpu.utils.common import create_logger
 
@@ -41,7 +59,12 @@ def main():
     ids = ids[args.start : args.end]
     logger.info(f"{len(ids)} frames to process")
 
-    factory = PseudoBoxFactory(ground_z=args.ground_z, z_offset=args.z_offset)
+    thing_classes = args.classes.split(",") if args.classes else None
+    preset = dict(FACTORY_PRESETS[args.dataset])
+    if args.center_type:
+        preset["center_type"] = args.center_type
+    factory = PseudoBoxFactory(ground_z=args.ground_z, z_offset=args.z_offset,
+                               thing_classes=thing_classes, **preset)
     t0 = time.time()
     done = 0
     for idx in ids:
