@@ -120,6 +120,14 @@ class DataProcessor:
             self._record_grid(config)
             self.max_voxels = config.MAX_NUMBER_OF_VOXELS[self.mode]
             self.max_points_per_voxel = config.get("MAX_POINTS_PER_VOXEL", 1)
+            # DOUBLE_FLIP TTA (reference data_processor.py:158-180 voxelizes
+            # orig+yflip+xflip+xyflip copies on host): our models voxelize
+            # on device, so the copy expansion + decode-side merge live in
+            # the model (VoxelNeXt._tta_double_flip, gated by
+            # DENSE_HEAD.DOUBLE_FLIP) — record the flag for config parity
+            self.double_flip = bool(config.get("DOUBLE_FLIP", False)) and (
+                self.mode == "test"
+            )
             return partial(self.transform_points_to_voxels, config=config)
         self._check_voxel_occupancy(data_dict)
         return data_dict

@@ -112,6 +112,9 @@ class VoxelNeXt(nn.Module):
         self.bev_cap = int(cfg.get("BEV_CAP", self.max_voxels // 4))
 
     def _features(self, batch, train: bool):
+        return self._features_pts(batch.points, batch.points_valid, train)
+
+    def _features_pts(self, points, points_valid, train: bool):
         def voxelize_one(points, valid):
             vox = dynamic_voxelize(self.grid, points, valid, self.max_voxels)
             sums = jax.ops.segment_sum(
@@ -125,9 +128,7 @@ class VoxelNeXt(nn.Module):
             feats = sums / jnp.maximum(counts, 1.0)[:, None]
             return feats, vox.voxel_coords, vox.voxel_valid
 
-        feats, coords, valid = jax.vmap(voxelize_one)(
-            batch.points, batch.points_valid
-        )
+        feats, coords, valid = jax.vmap(voxelize_one)(points, points_valid)
         st8 = self.backbone_3d(feats, coords, valid, train)
         st16 = self.down16(st8, train=train)
         st32 = self.down32(st16, train=train)
@@ -234,11 +235,118 @@ class VoxelNeXt(nn.Module):
         )
         return total, {"hm_loss": hm_loss, "rpn_loss": total}
 
+    def _tta_double_flip(self, batch):
+        """double_flip TTA: forward orig + yflip + xflip + xyflip point sets,
+        un-flip each copy's BEV cells and regression channels, average
+        activated predictions over matching cells, decode once.
+
+        TPU-first equivalent of the reference's processor-side copy expansion
+        (data_processor.py:117,158-180) + VoxelNeXtHead.merge_double_flip
+        (voxelnext_head.py:333-418): points are flipped ON DEVICE inside the
+        jitted program (our voxelization is in-model), and the sparse
+        unique/index_add merge is a sort-compaction segment mean. Deviations:
+        un-flipped grid indices use the involutive n-1-i (the reference's
+        `spatial_shape - ind` is off by one), and our reg layout carries no
+        vel channel.
+        """
+        pts, pv = batch.points, batch.points_valid
+        b = pts.shape[0]
+        c_in = pts.shape[-1]
+        sx = jnp.ones((c_in,), pts.dtype).at[0].set(-1.0)
+        sy = jnp.ones((c_in,), pts.dtype).at[1].set(-1.0)
+        pts4 = jnp.concatenate(
+            [pts, pts * sy, pts * sx, pts * sx * sy], axis=0
+        )  # copy order: orig, yflip, xflip, xyflip (reference keys)
+        pv4 = jnp.tile(pv, (4, 1))
+        bev, hm, reg = self._features_pts(pts4, pv4, train=False)
+
+        nx8, ny8 = bev.grid.nx, bev.grid.ny
+        v = bev.valid.shape[-1]
+        coords = bev.coords.reshape(4, b, v, 3)
+        valid = bev.valid.reshape(4, b, v)
+        prob = jax.nn.sigmoid(hm).reshape(4, b, v, -1)
+        reg = reg.reshape(4, b, v, 8)
+        # activate dims pre-average (reference sigmoids hm / exps dim first)
+        reg = reg.at[..., 3:6].set(jnp.exp(reg[..., 3:6]))
+
+        # un-flip: copy 1 y-mirror (dy, sinθ), copy 2 x-mirror (dx, cosθ:
+        # θ→π−θ), copy 3 both (θ→θ+π)
+        flip_y = jnp.array([1, -1, 1, -1])  # which copies mirrored y
+        flip_x = jnp.array([1, 1, -1, -1])  # which copies mirrored x
+        cx = coords[..., 0]
+        cy = coords[..., 1]
+        cx = jnp.where(flip_x[:, None, None] < 0, nx8 - 1 - cx, cx)
+        cy = jnp.where(flip_y[:, None, None] < 0, ny8 - 1 - cy, cy)
+        coords = jnp.stack([cx, cy, coords[..., 2]], axis=-1)
+        reg_scale = jnp.stack(
+            [
+                flip_x.astype(jnp.float32),          # dx
+                flip_y.astype(jnp.float32),          # dy
+                jnp.ones(4), jnp.ones(4), jnp.ones(4), jnp.ones(4),  # z, lwh
+                flip_x.astype(jnp.float32),          # cos θ
+                flip_y.astype(jnp.float32),          # sin θ
+            ],
+            axis=-1,
+        )  # (4, 8)
+        reg = reg * reg_scale[:, None, None, :]
+
+        # merge: per sample, segment-mean over unique un-flipped (x, y) cells
+        merged_cap = 2 * self.bev_cap
+        from ..core.voxel.sparse_ops import linearize
+
+        bev_grid = bev.grid
+        feats = jnp.concatenate([prob, reg], axis=-1)  # (4, B, V, C+8)
+        coords_m = coords.transpose(1, 0, 2, 3).reshape(b, 4 * v, 3)
+        valid_m = valid.transpose(1, 0, 2).reshape(b, 4 * v)
+        feats_m = feats.transpose(1, 0, 2, 3).reshape(b, 4 * v, -1)
+
+        def merge_one(c, vd, f):
+            key = linearize(bev_grid, c, vd)
+            sentinel = bev_grid.num_cells
+            order = jnp.argsort(key)
+            skey = jnp.take(key, order)
+            is_start = jnp.concatenate(
+                [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+            ) & (skey < sentinel)
+            seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+            seg = jnp.where((skey < sentinel) & (seg < merged_cap), seg,
+                            merged_cap)
+            f_s = jnp.take(f, order, axis=0)
+            c_s = jnp.take(c, order, axis=0)
+            sums = jax.ops.segment_sum(
+                f_s.astype(jnp.float32), seg, num_segments=merged_cap,
+                indices_are_sorted=True,
+            )
+            counts = jax.ops.segment_sum(
+                (seg < merged_cap).astype(jnp.float32), seg,
+                num_segments=merged_cap, indices_are_sorted=True,
+            )
+            avg = sums / jnp.maximum(counts, 1.0)[:, None]
+            out_coords = (
+                jnp.zeros((merged_cap + 1, 3), jnp.int32)
+                .at[jnp.where(is_start, seg, merged_cap)]
+                .set(c_s, mode="drop")
+            )[:merged_cap]
+            out_valid = jnp.arange(merged_cap) < jnp.minimum(
+                jnp.sum(is_start.astype(jnp.int32)), merged_cap
+            )
+            return out_coords, out_valid, avg
+
+        mc, mv, mf = jax.vmap(merge_one)(coords_m, valid_m, feats_m)
+        num_cls = len(self.class_names)
+        merged = SparseTensor(mf, mc, mv, bev_grid)
+        return merged, mf[..., :num_cls], mf[..., num_cls:]
+
     def predict(self, batch):
         cfg = self.cfg
         pp = cfg.DENSE_HEAD.POST_PROCESSING
-        bev, hm, reg = self._features(batch, train=False)
-        scores_all = jax.nn.sigmoid(hm)  # (B, V, C)
+        tta = bool(cfg.DENSE_HEAD.get("DOUBLE_FLIP", False))
+        if tta:
+            bev, scores_all, reg = self._tta_double_flip(batch)
+        else:
+            bev, hm, reg = self._features(batch, train=False)
+            scores_all = jax.nn.sigmoid(hm)  # (B, V, C)
+            reg = reg.at[..., 3:6].set(jnp.exp(reg[..., 3:6]))
         scores_all = jnp.where(bev.valid[..., None], scores_all, 0.0)
         vx, vy = self._voxel_xy(bev)
 
@@ -258,7 +366,7 @@ class VoxelNeXt(nn.Module):
         boxes = jnp.stack(
             [
                 x, y, r[..., 2],
-                jnp.exp(r[..., 3]), jnp.exp(r[..., 4]), jnp.exp(r[..., 5]),
+                r[..., 3], r[..., 4], r[..., 5],  # dims already exp'd
                 jnp.arctan2(r[..., 7], r[..., 6]),
             ],
             axis=-1,

@@ -71,3 +71,51 @@ class TestVoxelNeXt:
         assert np.all(np.isfinite(np.asarray(boxes)))
         k = np.asarray(keep)
         assert np.all(np.asarray(scores)[~k] == 0)
+
+    def test_double_flip_tta_equivariant(self):
+        """double_flip TTA (reference voxelnext_head.py:333 merge semantics):
+        the 4-copy set {orig, yflip, xflip, xyflip} is closed under y-mirror,
+        so TTA(yflip(scene)) must equal yflip(TTA(scene)) exactly — this pins
+        the whole un-flip + unique-cell-average algebra."""
+        cfg = vn_cfg()
+        cfg["DENSE_HEAD"]["DOUBLE_FLIP"] = True
+        model = build_network(cfg, CLASS_NAMES, vn_grid())
+        batch = make_batch(np.random.RandomState(7), b=1, n=512)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1)}, batch, train=False
+        )
+        predict = jax.jit(
+            lambda v, b: model.apply(v, b, method=lambda m, bb: m.predict(bb))
+        )
+        boxes, scores, labels, keep = jax.device_get(predict(variables, batch))
+        assert np.all(np.isfinite(boxes))
+
+        flip = jnp.ones(batch.points.shape[-1]).at[1].set(-1.0)
+        batch_f = batch._replace(points=batch.points * flip)
+        boxes_f, scores_f, labels_f, keep_f = jax.device_get(
+            predict(variables, batch_f)
+        )
+
+        # un-mirror the flipped run's detections; as SETS they must equal the
+        # base run's. Equal scores may permute, so canonicalize by rounded
+        # (x, y, score) lexicographic order.
+        boxes_m = np.asarray(boxes_f).copy()
+        boxes_m[..., 1] *= -1
+        boxes_m[..., 6] *= -1
+
+        def canon(bx, sc, kp):
+            bx, sc = bx[0][kp[0]], sc[0][kp[0]]
+            key = np.round(np.stack([sc, bx[:, 1], bx[:, 0]]), 4)
+            order = np.lexsort(key)
+            return bx[order], sc[order]
+
+        b0, s0 = canon(np.asarray(boxes), np.asarray(scores), np.asarray(keep))
+        b1, s1 = canon(boxes_m, np.asarray(scores_f), np.asarray(keep_f))
+        assert len(s0) > 0 and len(s0) == len(s1)
+        np.testing.assert_allclose(s0, s1, atol=1e-5)
+        np.testing.assert_allclose(b1[:, :6], b0[:, :6], atol=1e-4)
+        # headings equal mod π-safe sin/cos comparison
+        np.testing.assert_allclose(np.sin(b1[:, 6]), np.sin(b0[:, 6]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.cos(b1[:, 6]), np.cos(b0[:, 6]),
+                                   atol=1e-4)
