@@ -83,6 +83,13 @@ class KittiDataset(DatasetTemplate):
     def get_image_shape(self, idx):
         return kitti_io.get_image_shape(self.root_split_path / "image_2" / f"{idx}.png")
 
+    def get_image(self, idx):
+        """(H, W, 3) float32 in [0, 1] (reference get_image, kitti_dataset.py:75-88)."""
+        from PIL import Image
+
+        img = Image.open(self.root_split_path / "image_2" / f"{idx}.png").convert("RGB")
+        return np.asarray(img, dtype=np.float32) / 255.0
+
     def get_label(self, idx):
         label_dir = self.dataset_cfg.get("LABEL_DIR", "label_2")
         label_file = self.root_split_path / label_dir / f"{idx}.txt"
@@ -415,6 +422,16 @@ class KittiDataset(DatasetTemplate):
                 fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
                 points = points[fov_flag]
             input_dict["points"] = points
+
+        # multimodal items (reference kitti_dataset.py:480-497): the image as
+        # float [0,1] and the camera-frame 2D gt boxes — consumed by the
+        # camera-branch models and the sampler's image-domain copy-paste
+        if "images" in get_item_list:
+            input_dict["images"] = self.get_image(sample_idx)
+        if "gt_boxes2d" in get_item_list and "annos" in info:
+            input_dict["gt_boxes2d"] = info["annos"]["bbox"][
+                info["annos"]["name"] != "DontCare"
+            ].astype(np.float32)
 
         data_dict = self.prepare_data(data_dict=input_dict)
         if data_dict.pop("_needs_resample", False):

@@ -144,6 +144,79 @@ class TestDataBaseSampler:
         if npg.points_in_boxes(np.array([[8.0, 0, -1]]), sampled[:, :7]).any():
             assert at_loc.sum() == 0
 
+    def test_image_copy_paste(self, tmp_path, rng):
+        """IMG_AUG_TYPE: kitti — sampled objects' image crops are pasted into
+        the scene image at their projected 2D boxes, gt_boxes2d extends, and
+        2D-IoU rejection holds (reference database_sampler.py:168-305)."""
+        from PIL import Image
+
+        from dfu3d_tpu.pseudo.synthetic import CALIB_TXT, IMG_H, IMG_W, make_calib
+
+        gtdb = tmp_path / "gt_database"
+        gtdb.mkdir()
+        (tmp_path / "calib").mkdir()
+        (tmp_path / "image_2").mkdir()
+        calib = make_calib()
+        infos = {"Car": []}
+        # in-FOV boxes spread laterally so their 2D boxes don't overlap
+        centers = [(12.0, -4.0), (16.0, 5.0), (24.0, -9.0), (30.0, 10.0)]
+        for i, (cx, cy) in enumerate(centers):
+            idx = f"{i:06d}"
+            (tmp_path / "calib" / f"{idx}.txt").write_text(CALIB_TXT)
+            # distinctive solid-color source image per frame
+            img = np.full((IMG_H, IMG_W, 3), (i + 1) * 40, np.uint8)
+            Image.fromarray(img).save(tmp_path / "image_2" / f"{idx}.png")
+            box = np.array([cx, cy, -1, 4, 2, 1.5, 0.0], np.float32)
+            pts = rng.uniform(-1, 1, (30, 4)).astype(np.float32)
+            (pts).tofile(gtdb / f"img_Car_{i}.bin")
+            corners = npg.boxes_to_corners_3d(box[None])[0]
+            bbox, _ = calib.corners3d_to_img_boxes(
+                calib.lidar_to_rect(corners.reshape(-1, 3)).reshape(-1, 8, 3)
+            )
+            infos["Car"].append({
+                "name": "Car", "path": f"gt_database/img_Car_{i}.bin",
+                "box3d_lidar": box, "num_points_in_gt": 30, "difficulty": 0,
+                "image_idx": idx, "bbox": bbox[0].astype(np.float32),
+            })
+        with open(tmp_path / "dbinfos.pkl", "wb") as f:
+            pickle.dump(infos, f)
+
+        cfg = CfgDict({
+            "DB_INFO_PATH": ["dbinfos.pkl"],
+            "PREPARE": {"filter_by_min_points": ["Car:5"]},
+            "SAMPLE_GROUPS": ["Car:4"],
+            "NUM_POINT_FEATURES": 4,
+            "LIMIT_WHOLE_SCENE": False,
+            "IMG_AUG_TYPE": "kitti",
+            "IMG_AUG_IOU_THRESH": 0.5,
+        })
+        sampler = DataBaseSampler(tmp_path, cfg, ["Car"],
+                                  rng=np.random.RandomState(0))
+        scene_img = np.zeros((IMG_H, IMG_W, 3), np.float32)
+        data = {
+            "gt_boxes": np.zeros((0, 7), np.float32),
+            "gt_names": np.array([], dtype="<U10"),
+            "points": rng.uniform(-30, 30, (300, 4)).astype(np.float32),
+            "gt_boxes_mask": np.ones(0, dtype=bool),
+            "images": scene_img,
+            "gt_boxes2d": np.zeros((0, 4), np.float32),
+            "calib": calib,
+        }
+        out = sampler(data)
+        n = len(out["gt_boxes"])
+        assert n >= 2
+        assert out["gt_boxes2d"].shape == (n, 4)
+        # each sampled object's crop (solid nonzero color) was pasted into
+        # the black scene image at its 2D box
+        for b in out["gt_boxes2d"]:
+            bi = b.astype(int)
+            region = out["images"][bi[1]:bi[3], bi[0]:bi[2]]
+            assert region.size > 0 and region.max() > 0
+        # 2D boxes respect the pairwise IoU threshold
+        iou = sampler._iou_2d(out["gt_boxes2d"], out["gt_boxes2d"])
+        iou[range(n), range(n)] = 0
+        assert iou.max() < 0.5
+
 
 class TestLocalAugs:
     def _scene(self, rng, n_boxes=3, pts_per=60):
