@@ -45,6 +45,30 @@ NUSCENES_CLASSES = [
 ]
 VEHICLE_CLASSES = {"Car", "Truck", "Construction_vehicle", "Bus", "Trailer"}
 
+# Cross-dataset factory variants (my_loader_KittiPandasetWaymo.py:883-1010):
+# the KITTI/Pandaset/Waymo factories apply class (l, w) size priors
+# unconditionally (:964-967) and a height prior when the measured height
+# < 1 m (:908-915); the nuScenes factory (my_loader.py, the flagship path)
+# has center_type=None and its size-prior branch is dead code.
+_KITTI_SIZE_PRIORS = {
+    "Car": (3.9, 1.6), "Pedestrian": (0.8, 0.6),
+    "Cyclist": (1.76, 0.6), "Person ride a bike": (1.76, 0.6),
+    "Bicycle": (1.76, 0.6),
+}
+_KITTI_HEIGHT_PRIORS = {
+    "Car": 1.56, "Pedestrian": 1.73,
+    "Cyclist": 1.73, "Person ride a bike": 1.73, "Bicycle": 1.73,
+}
+FACTORY_PRESETS = {
+    "nuscenes": dict(size_priors=None, height_priors=None, center_type=None),
+    "kitti": dict(size_priors=_KITTI_SIZE_PRIORS,
+                  height_priors=_KITTI_HEIGHT_PRIORS, center_type=None),
+    "waymo": dict(size_priors=_KITTI_SIZE_PRIORS,
+                  height_priors=_KITTI_HEIGHT_PRIORS, center_type=None),
+    "pandaset": dict(size_priors=_KITTI_SIZE_PRIORS,
+                     height_priors=_KITTI_HEIGHT_PRIORS, center_type=None),
+}
+
 
 @dataclass
 class FrameInputs:
@@ -111,12 +135,13 @@ def _plane_and_above(pad_lidar, pad_valid, key):
 @functools.partial(
     jax.jit,
     static_argnames=("num_clusters", "min_pts", "ball_gate_c", "ground_z",
-                     "z_offset"),
+                     "z_offset", "center_type"),
 )
 def _frame_kernel(obj_lidar, obj_lidar_valid, obj_pseudo, obj_pseudo_valid,
-                  radius, is_car, num_clusters: int, min_pts: int,
+                  radius, is_car, size_prior, height_prior,
+                  num_clusters: int, min_pts: int,
                   ball_gate_c: float, ground_z: float = 0.0,
-                  z_offset: float = 1.5):
+                  z_offset: float = 1.5, center_type: str | None = None):
     """All K instances of a frame in ONE device program (vmapped over K).
 
     Stages per instance (reference my_loader.py:547-605 + GenerateAnns):
@@ -126,13 +151,15 @@ def _frame_kernel(obj_lidar, obj_lidar_valid, obj_pseudo, obj_pseudo_valid,
     round-trips per instance (VERDICT round 1, Missing #2).
 
     Args:
-        obj_lidar/obj_pseudo: (K, P, 3); radius: (K,); is_car: (K,) bool.
+        obj_lidar/obj_pseudo: (K, P, 3); radius: (K,); is_car: (K,) bool;
+        size_prior: (K, 2) per-class (l, w) priors (≤0 disables);
+        height_prior: (K,) per-class height prior (≤0 disables).
     Returns:
         boxes (K, C, 7), ok (K, C), counts (K, C), n_obj (K,)
     """
     p = obj_lidar.shape[1]
 
-    def per_instance(ol, olv, op, opv, r, car):
+    def per_instance(ol, olv, op, opv, r, car, sp, hp):
         lid_keep = ops.radius_outlier_mask(ol, olv, r)
         pse_keep = ops.radius_outlier_mask(op, opv, r)
         pse_keep = ops.ball_gate_mask(op, pse_keep, ol, lid_keep, ball_gate_c)
@@ -147,12 +174,14 @@ def _frame_kernel(obj_lidar, obj_lidar_valid, obj_pseudo, obj_pseudo_valid,
         boxes, ok, counts = ops.instance_boxes(
             pts_c, keep_c, car, num_clusters, min_pts,
             ground_z=ground_z, z_offset=z_offset,
+            size_prior=sp, height_prior=hp, center_type=center_type,
         )
         ok = ok & (n_obj >= min_pts)
         return boxes, ok, counts, n_obj
 
     return jax.vmap(per_instance)(
-        obj_lidar, obj_lidar_valid, obj_pseudo, obj_pseudo_valid, radius, is_car
+        obj_lidar, obj_lidar_valid, obj_pseudo, obj_pseudo_valid, radius,
+        is_car, size_prior, height_prior,
     )
 
 
@@ -168,6 +197,9 @@ class PseudoBoxFactory:
                  max_instances: int = 16,
                  ground_z: float = 0.0,
                  z_offset: float = 1.5,
+                 size_priors: Optional[dict] = None,
+                 height_priors: Optional[dict] = None,
+                 center_type: Optional[str] = None,
                  seed: int = 0):
         self.thing_classes = list(thing_classes or NUSCENES_CLASSES)
         self.max_pts = max_points_per_instance
@@ -184,6 +216,11 @@ class PseudoBoxFactory:
         # ground_z=0 / z_offset=1.5 for nuScenes-kitti; see ops.box_from_corners)
         self.ground_z = float(ground_z)
         self.z_offset = float(z_offset)
+        # cross-dataset variant knobs (FACTORY_PRESETS): per-class (l, w) /
+        # height priors and center placement strategy
+        self.size_priors = size_priors
+        self.height_priors = height_priors
+        self.center_type = center_type
         self.key = jax.random.PRNGKey(seed)
 
     # -- stage helpers (host-side orchestration, device kernels inside) --
@@ -288,6 +325,8 @@ class PseudoBoxFactory:
         opv = np.zeros((kcap, self.max_pts), bool)
         radii = np.full(kcap, 0.6, np.float32)
         is_car = np.zeros(kcap, bool)
+        size_prior = np.full((kcap, 2), -1.0, np.float32)
+        height_prior = np.full(kcap, -1.0, np.float32)
         cls_names = []
 
         lid_in = lidar_above[in_img]
@@ -298,6 +337,10 @@ class PseudoBoxFactory:
             cls_names.append(cls_name)
             radii[slot] = 3.0 if cls_name in VEHICLE_CLASSES else 0.6
             is_car[slot] = cls_name == "Car"
+            if self.size_priors and cls_name in self.size_priors:
+                size_prior[slot] = self.size_priors[cls_name]
+            if self.height_priors and cls_name in self.height_priors:
+                height_prior[slot] = self.height_priors[cls_name]
             obj_lidar = lid_in[mask[lid_pix[:, 1], lid_pix[:, 0]]]
             obj_pseudo = pseudo[mask[pseudo_pix[:, 0], pseudo_pix[:, 1]]]
             ol[slot], olv[slot] = self._pad(obj_lidar)
@@ -310,11 +353,13 @@ class PseudoBoxFactory:
                     jnp.asarray(ol), jnp.asarray(olv),
                     jnp.asarray(op), jnp.asarray(opv),
                     jnp.asarray(radii), jnp.asarray(is_car),
+                    jnp.asarray(size_prior), jnp.asarray(height_prior),
                     num_clusters=self.max_clusters,
                     min_pts=self.min_cluster_points,
                     ball_gate_c=self.ball_gate_c,
                     ground_z=self.ground_z,
                     z_offset=self.z_offset,
+                    center_type=self.center_type,
                 )
             )
             for slot, k in enumerate(inst_order):

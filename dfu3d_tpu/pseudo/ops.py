@@ -254,12 +254,16 @@ def top_cluster_masks(labels, valid, num_clusters: int, min_pts: int):
 
 
 def instance_boxes(points, valid, is_car, num_clusters: int, min_pts: int,
-                   ground_z: float = 0.0, z_offset: float = 1.5):
+                   ground_z: float = 0.0, z_offset: float = 1.5,
+                   size_prior=None, height_prior=None,
+                   center_type: str | None = None):
     """Cluster one instance's points and L-shape-fit each cluster.
 
     The vmappable composition of connected_components → top_cluster_masks →
     rectangle_search → box_from_corners (the reference's GenerateAnns inner
-    loop, my_loader.py:633-684, as one fixed-shape program).
+    loop, my_loader.py:633-684, as one fixed-shape program). size_prior /
+    height_prior / center_type select the cross-dataset variant behaviors
+    (see box_from_corners).
 
     Returns boxes (C, 7), ok (C,), counts (C,).
     """
@@ -270,7 +274,10 @@ def instance_boxes(points, valid, is_car, num_clusters: int, min_pts: int,
         corners, _theta = rectangle_search(points[:, 0], points[:, 1], mask)
         max_z = jnp.max(jnp.where(mask, points[:, 2], -_BIG))
         box, ok = box_from_corners(corners, max_z, is_car,
-                                   ground_z=ground_z, z_offset=z_offset)
+                                   ground_z=ground_z, z_offset=z_offset,
+                                   size_prior=size_prior,
+                                   height_prior=height_prior,
+                                   center_type=center_type)
         return box, ok
 
     boxes, oks = jax.vmap(one_cluster)(sel)
@@ -279,7 +286,9 @@ def instance_boxes(points, valid, is_car, num_clusters: int, min_pts: int,
 
 
 def box_from_corners(corners, max_z, object_class_is_car,
-                     ground_z: float = 0.0, z_offset: float = 1.5):
+                     ground_z: float = 0.0, z_offset: float = 1.5,
+                     size_prior=None, height_prior=None,
+                     center_type: str | None = None):
     """Assemble a lidar box from rectangle corners (GenerateAnns semantics,
     my_loader.py:633-684):
 
@@ -289,6 +298,19 @@ def box_from_corners(corners, max_z, object_class_is_car,
     reference's literal hardcoded ground assumptions (center_z = max_z/2 −
     1.5, height = max_z) — set ground_z to the scene's ground elevation for
     data whose lidar frame differs from nuScenes-kitti's.
+
+    Cross-dataset variant knobs (the KittiPandasetWaymo factory's class size
+    priors and center placement strategies, my_loader_KittiPandasetWaymo.py:
+    883-1010):
+      size_prior: (2,) prior (length, width) for this instance's class;
+          values ≤ 0 disable. When set, the final box size is the prior
+          (the variant's unconditional override, :964-967).
+      height_prior: scalar prior height; applied when the measured height
+          < 1.0 m (:908-915); ≤ 0 disables.
+      center_type: None | 'ori' | 'prior_centerline' | 'prior_linecorner'
+          | 'prior_center' — center placement strategy (static; the prior_*
+          modes move the center using the measured rect and the size prior).
+
     Returns (box (7,), ok flag); box heading is the LIDAR heading
     (GenerateAnns' `rotation` is camera ry = −heading − π/2).
     """
@@ -301,12 +323,67 @@ def box_from_corners(corners, max_z, object_class_is_car,
     width = jnp.where(use_l1, l2, l1)
     slope_num = jnp.where(use_l1, c3[1] - c0[1], c1[1] - c0[1])
     slope_den = jnp.where(use_l1, c3[0] - c0[0], c1[0] - c0[0]) + 1e-8
-    rotation_cam = -jnp.arctan(slope_num / slope_den) - np.pi / 2
+    rotation = jnp.arctan(slope_num / slope_den)
+    rotation_cam = -rotation - np.pi / 2
     heading = -(rotation_cam + np.pi / 2)  # lidar heading
     center_z = (max_z + ground_z) / 2.0 - z_offset
     height = max_z - ground_z
+    if height_prior is not None:
+        hp = jnp.asarray(height_prior, jnp.float32)
+        height = jnp.where((hp > 0) & (height < 1.0), hp, height)
     aspect = jnp.maximum(l1, l2) / jnp.maximum(jnp.minimum(l1, l2), 1e-6)
     ok = jnp.where(object_class_is_car, aspect <= 5.0, True)
+
+    has_prior = (
+        jnp.all(jnp.asarray(size_prior, jnp.float32) > 0)
+        if size_prior is not None else jnp.asarray(False)
+    )
+    if center_type in ("prior_centerline", "prior_linecorner", "prior_center"):
+        sp = jnp.asarray(size_prior, jnp.float32)
+        pl, pw = sp[0], sp[1]
+        # "small" fitted rect (the reference's l2<1.5 and l1<2 gate, with the
+        # short/long roles swapped in the l1<l2 branch, :932,:979)
+        small = jnp.where(use_l1, (l2 < 1.5) & (l1 < 2.0),
+                          (l1 < 1.5) & (l2 < 2.0))
+        # slope of the OTHER edge (the reference re-derives rotation from it
+        # in the linecorner/center modes, :938,:986)
+        o_num = jnp.where(use_l1, c1[1] - c0[1], c3[1] - c0[1])
+        o_den = jnp.where(use_l1, c1[0] - c0[0], c3[0] - c0[0]) + 1e-8
+        rot_o = jnp.arctan(o_num / o_den)
+        if center_type == "prior_centerline":
+            # step from the short-edge midpoint along (sin r, cos r) by half
+            # the prior extent (:930-936, :978-984)
+            w_mid = jnp.where(use_l1, (c0 + c1) / 2.0, (c0 + c3) / 2.0)
+            step = jnp.where(small, pw, pl) / 2.0
+            moved = w_mid + step * jnp.stack(
+                [jnp.sin(rotation), jnp.cos(rotation)]
+            )
+            center = jnp.where(has_prior, moved, center)
+        elif center_type == "prior_linecorner":
+            # shift a small Car rect's center along the other edge's heading
+            # by the half size deficit (:937-948, :985-995)
+            shift = (pl - length) / 2.0
+            moved = center + shift * jnp.stack(
+                [jnp.cos(rot_o), jnp.sin(rot_o)]
+            )
+            do = has_prior & small & object_class_is_car
+            center = jnp.where(do, moved, center)
+        else:  # prior_center: diagonal shift toward the prior-box center
+            theta = jnp.arctan((pw - width) / (pl - length) + 1e-8)
+            delta = theta + rot_o
+            dist = jnp.sqrt(
+                ((pl - length) / 2.0) ** 2 + ((pw - width) / 2.0) ** 2
+            )
+            moved = center + dist * jnp.stack(
+                [jnp.cos(delta), jnp.sin(delta)]
+            )
+            do = has_prior & small
+            center = jnp.where(do, moved, center)
+    if size_prior is not None:
+        sp = jnp.asarray(size_prior, jnp.float32)
+        length = jnp.where(has_prior, sp[0], length)
+        width = jnp.where(has_prior, sp[1], width)
+
     box = jnp.stack(
         [center[0], center[1], center_z, length, width, height, heading]
     )
