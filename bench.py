@@ -26,6 +26,7 @@ import numpy as np
 
 BASELINE_FILE = Path(__file__).parent / "bench_baseline.json"
 V5E_BF16_PEAK = 197e12
+V5E_HBM_PEAK = 819e9  # bytes/s
 
 
 def _time_step(step, state, batch, trials=4, iters=25):
@@ -84,14 +85,20 @@ def bench_flagship():
     lowered = jax.jit(step_fn, donate_argnums=0).lower(state, batch)
     compiled = lowered.compile()
     try:
-        flops = float(compiled.cost_analysis()["flops"])
+        cost = compiled.cost_analysis()
+        flops = float(cost["flops"])
     except Exception:
-        flops = float("nan")
+        cost, flops = {}, float("nan")
+    # "bytes accessed" is XLA's post-fusion HBM operand+output traffic estimate
+    # for the whole step — bytes/wall vs the v5e HBM peak (819 GB/s) is the
+    # memory-roofline twin of mfu_pct (VERDICT r2: "BW-bound" must be measured)
+    hbm_bytes = float(cost.get("bytes accessed", float("nan")))
     step = jax.jit(step_fn, donate_argnums=0)
     disp_best, _, state = _time_step(step, state, batch, trials=2, iters=10)
     best, median, _ = _time_multi_step(model, tx, state, batch)
     return (B / best, B / median, flops / best if np.isfinite(flops) else None,
-            B / disp_best)
+            B / disp_best,
+            hbm_bytes / best if np.isfinite(hbm_bytes) else None)
 
 
 def bench_second():
@@ -122,7 +129,9 @@ def bench_second():
 
 
 def main():
-    sps_best, sps_median, flops_per_sec, sps_dispatched = bench_flagship()
+    sps_best, sps_median, flops_per_sec, sps_dispatched, bytes_per_sec = (
+        bench_flagship()
+    )
     try:
         sec_best, sec_median = bench_second()
     except Exception:
@@ -150,6 +159,8 @@ def main():
     }
     if flops_per_sec:
         out["mfu_pct"] = round(100 * flops_per_sec / V5E_BF16_PEAK, 2)
+    if bytes_per_sec:
+        out["bw_pct"] = round(100 * bytes_per_sec / V5E_HBM_PEAK, 2)
     print(json.dumps(out))
 
 
