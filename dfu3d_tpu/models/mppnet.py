@@ -1,126 +1,53 @@
 """MPPNet / MPPNetE2E — temporal multi-frame proposal refinement (reference:
-pcdet/models/roi_heads/mppnet_head.py, 992 LoC + mppnet_memory_bank_e2e.py,
-580 LoC + detectors/mppnet.py, mppnet_e2e.py).
+pcdet/models/detectors/mppnet.py, mppnet_e2e.py; head in
+pcdet/models/roi_heads/mppnet_head.py + mppnet_memory_bank_e2e.py).
 
 TPU redesign on this repo's primitives, fully static shapes:
 * input: multi-sweep point clouds with a trailing time-lag channel (the same
-  contract the nuScenes loader produces; reference uses 4/16-frame KITTI-
-  format sweeps). Points partition into T frame groups by quantized lag.
-* stage 1: sparse-backbone BEV RPN on the merged cloud → proposals (like the
-  reference's frozen first stage).
-* stage 2 (MPPNetHead): per proposal and per frame group, ball-query pooling
-  of that frame's points around the proposal (the reference's per-frame
-  proxy points), a shared point MLP + max-pool → one token per (proposal,
-  frame); a transformer encoder over the T frame tokens (the reference's
-  intra-/inter-group attention collapsed to one temporal stage); FFN
-  confidence + box refinement.
-* MPPNetE2E: identical head, but the first stage sees only the CURRENT
-  frame's points (lag ≈ 0) while the temporal head consumes the full
-  history — the reference's online memory-bank arrangement, with the bank
-  expressed as the lag-partitioned point buffer instead of cached CUDA
-  tensors.
+  contract the nuScenes loader produces; the reference uses 4/16-frame
+  KITTI-format sweeps). Points partition into T frame groups by their lag.
+* stage 1: sparse-backbone BEV RPN on the merged cloud -> proposals. The
+  reference instead LOADS per-frame proposals of a frozen first stage from
+  disk (detector `proposals_list`); in-framework we synthesize the per-frame
+  proposal sets from the current RPN output and run the same trajectory
+  matching (`generate_trajectory`), so the full matching path is exercised
+  and external per-frame proposals can be dropped in.
+* stage 2: the structurally-faithful MPPNetHead (see mppnet_head.py):
+  trajectory generation, per-frame cropping, proxy-point geometry + motion
+  streams, intra-/inter-group attention, trajectory auxiliary branch, deep
+  per-layer supervision, and a joint regression.
+* MPPNetE2E: the first stage sees only the CURRENT frame's points while the
+  head consumes the full lag history; `predict_with_bank` carries the
+  reference's cached geometry-feature memory bank across steps
+  (mppnet_memory_bank_e2e.py:360-466), matching bank entries to the current
+  trajectory by 3D IoU.
 """
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..core import pointnet2 as P
 from ..core.geometry.iou import pairwise_iou3d
 from ..core.geometry.nms import nms_bev
 from ..core.voxel import dynamic_voxelize
 from ..core.voxel.sparse_ops import SparseGrid
 from . import losses
 from .anchor_head import decode_anchor_predictions, decode_boxes, encode_boxes
-from .pointnet2_backbone import SharedMLP
+from .mppnet_head import MPPNetHead, generate_trajectory
 from .pointpillar import AnchorDetectorBase
 from .sparse_backbone import VoxelBackBone8x, height_compression
 
 
-class MPPNetHead(nn.Module):
-    """Temporal proposal refinement over T frame tokens."""
+class MemoryBank(NamedTuple):
+    """E2E cached state across steps (ref mppnet_memory_bank_e2e.py):
+    per past frame the proxy geometry features, their rois, and validity."""
 
-    num_frames: int = 4
-    nsample: int = 32
-    radius: float = 2.4
-    hidden: int = 64
-    num_layers: int = 2
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, rois, roi_valid, points, points_valid, train: bool):
-        """rois (B, R, 7); points (B, N, ≥5) with time-lag channel last."""
-        b, r = rois.shape[:2]
-        t = self.num_frames
-        lag = points[..., -1]
-        max_lag = jnp.maximum(jnp.max(jnp.where(points_valid, lag, 0.0)), 1e-6)
-        frame_of = jnp.clip(
-            (lag / max_lag * (t - 1) + 0.5).astype(jnp.int32), 0, t - 1
-        )
-
-        tokens = []
-        for f in range(t):
-            sel = points_valid & (frame_of == f)
-
-            def pool_one(px, pv, rr, rv):
-                idx, has = P.ball_query(
-                    self.radius, self.nsample, px[:, :3], pv, rr[:, :3], rv
-                )
-                grouped = jnp.take(px[:, :3], idx, axis=0) - rr[:, None, :3]
-                # proposal-frame geometry features: Δxyz + box-normalized
-                feats = jnp.concatenate(
-                    [grouped, grouped / jnp.maximum(rr[:, None, 3:6], 0.1)],
-                    axis=-1,
-                )
-                return feats, has & rv
-
-            feats, has = jax.vmap(pool_one)(points, sel, rois, roi_valid)
-            tokens.append((feats, has))
-
-        mlp = SharedMLP((self.hidden, self.hidden), dtype=self.dtype,
-                        name="point_mlp")
-        frame_tokens, frame_has = [], []
-        for feats, has in tokens:
-            g = mlp(feats.astype(self.dtype), has[..., None, None], train)
-            g = jnp.where(has[..., None, None], g, -jnp.inf)
-            pooled = jnp.max(g, axis=2)
-            frame_tokens.append(jnp.where(jnp.isfinite(pooled), pooled, 0.0))
-            frame_has.append(has)
-        x = jnp.stack(frame_tokens, axis=2)        # (B, R, T, C)
-        tmask = jnp.stack(frame_has, axis=2)       # (B, R, T)
-
-        # temporal position embedding + transformer over frames
-        temb = self.param("time_embed", nn.initializers.normal(0.02),
-                          (t, self.hidden), jnp.float32)
-        x = (x + temb[None, None]).astype(self.dtype)
-        x2 = x.reshape(b * r, t, self.hidden)
-        m2 = tmask.reshape(b * r, t)
-        for i in range(self.num_layers):
-            attn_mask = jnp.where(m2[:, None, None, :], 0.0, -1e9)
-            qkv = nn.DenseGeneral((3, 4, self.hidden // 4), dtype=self.dtype,
-                                  param_dtype=jnp.float32,
-                                  name=f"qkv{i}")(x2)
-            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-            logits = jnp.einsum(
-                "nlhd,nmhd->nhlm", q * (self.hidden // 4) ** -0.5, k
-            ).astype(jnp.float32) + attn_mask
-            w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            o = jnp.einsum("nhlm,nmhd->nlhd", w, v).reshape(b * r, t, -1)
-            o = nn.Dense(self.hidden, dtype=self.dtype,
-                         param_dtype=jnp.float32, name=f"proj{i}")(o)
-            x2 = nn.LayerNorm(param_dtype=jnp.float32, name=f"ln{i}")(
-                (x2 + o).astype(jnp.float32)
-            ).astype(self.dtype)
-
-        agg = jnp.max(jnp.where(m2[..., None], x2, -jnp.inf), axis=1)
-        agg = jnp.where(jnp.isfinite(agg), agg, 0.0).reshape(b, r, self.hidden)
-        h = SharedMLP((self.hidden, self.hidden), dtype=self.dtype,
-                      name="head_fc")(agg, roi_valid[..., None], train)
-        cls = nn.Dense(1, param_dtype=jnp.float32, name="cls")(h)[..., 0]
-        reg = nn.Dense(7, param_dtype=jnp.float32, name="reg")(h)
-        return cls.astype(jnp.float32), reg.astype(jnp.float32)
+    feats: jnp.ndarray  # (B, T-1, R, P, H)
+    rois: jnp.ndarray   # (B, T-1, R, 7)
+    valid: jnp.ndarray  # (B, T-1, R)
 
 
 class MPPNet(AnchorDetectorBase):
@@ -144,12 +71,22 @@ class MPPNet(AnchorDetectorBase):
         self.num_rois = int(rh.get("NMS_POST_MAXSIZE", 64))
         self.roi_pre_max = int(rh.get("NMS_PRE_MAXSIZE", 1024))
         self.roi_nms_thresh = float(rh.get("NMS_THRESH", 0.8))
+        num_frames = int(rh.get("NUM_FRAMES", 4))
+        self.num_frames = num_frames
+        self.aux_weight = float(rh.get("AUX_WEIGHT", 0.5))
         self.roi_head = MPPNetHead(
-            num_frames=int(rh.get("NUM_FRAMES", 4)),
-            nsample=int(rh.get("NSAMPLE", 32)),
-            radius=float(rh.get("RADIUS", 2.4)),
+            num_frames=num_frames,
+            num_groups=int(rh.get("NUM_GROUPS", min(num_frames, 4))),
+            sequence_stride=int(rh.get("SEQUENCE_STRIDE", 1)),
+            grid_size=int(rh.get("GRID_SIZE", 4)),
+            num_lidar_points=int(rh.get("NUM_LIDAR_POINTS", 128)),
             hidden=int(rh.get("HIDDEN", 64)),
-            num_layers=int(rh.get("NUM_LAYERS", 2)),
+            enc_layers=int(rh.get("NUM_LAYERS", 3)),
+            nheads=int(rh.get("NHEADS", 4)),
+            ffn_hidden=int(rh.get("DIM_FEEDFORWARD", 4 * int(rh.get("HIDDEN", 64)))),
+            mixer_hidden=int(rh.get("MIXER_HIDDEN", 16)),
+            pool_radii=tuple(rh.get("POOL_RADIUS", (0.8, 1.6))),
+            pool_nsample=int(rh.get("NSAMPLE", 16)),
             dtype=self.dtype,
             name="roi_head",
         )
@@ -201,6 +138,64 @@ class MPPNet(AnchorDetectorBase):
         return jax.vmap(one)(jax.lax.stop_gradient(boxes),
                              jax.lax.stop_gradient(scores))
 
+    def _trajectory(self, rois, roi_valid):
+        """Trajectory rois via the reference's velocity-propagate + IoU-match
+        protocol (mppnet_head.py:635-659). Without an external frozen-stage
+        proposal store the per-frame proposal sets are the current proposals
+        themselves, so matching is exact and the trajectory holds station —
+        external `proposals_list` tensors slot into the same function."""
+        proposals_list = jnp.broadcast_to(
+            rois[:, None], (rois.shape[0], self.num_frames) + rois.shape[1:]
+        )
+        proposals_valid = jnp.broadcast_to(
+            roi_valid[:, None],
+            (roi_valid.shape[0], self.num_frames) + roi_valid.shape[1:],
+        )
+        return generate_trajectory(rois, roi_valid, proposals_list,
+                                   proposals_valid)
+
+    def _head_losses(self, out, rois, roi_valid, batch):
+        """Deep-supervised rcnn losses (ref get_box_cls/reg_layer_loss)."""
+
+        def roi_iou_one(rr, rv, gt, gv):
+            iou = pairwise_iou3d(rr[:, :7], gt[:, :7])
+            iou = jnp.where(gv[None, :], iou, -1.0)
+            return jnp.max(iou, axis=1), gt[jnp.argmax(iou, axis=1)]
+
+        roi_iou, roi_gt = jax.vmap(roi_iou_one)(
+            rois, roi_valid, batch.gt_boxes, batch.gt_valid
+        )
+        cls_t = jnp.where(roi_iou > 0.6, 1.0, 0.0)
+        cared = ((roi_iou > 0.6) | (roi_iou < 0.45)) & roi_valid
+
+        def bce(logits):
+            raw = jnp.clip(logits, 0) - logits * cls_t + jnp.log1p(
+                jnp.exp(-jnp.abs(logits))
+            )
+            return jnp.sum(raw * cared) / jnp.maximum(jnp.sum(cared), 1.0)
+
+        # per-layer deep supervision on the class logits (ref point_cls)
+        rcnn_cls_loss = jnp.mean(jax.vmap(bce)(out["cls_layers"]))
+
+        reg_mask = (roi_iou > 0.55) & roi_valid
+        reg_t = encode_boxes(roi_gt[..., :7], rois[..., :7])
+        rw = reg_mask.astype(jnp.float32)
+        rw = rw / jnp.maximum(jnp.sum(rw, axis=1, keepdims=True), 1.0)
+        bsz = rois.shape[0]
+
+        def reg_loss(pred):
+            return jnp.sum(losses.weighted_smooth_l1(pred, reg_t, rw)) / bsz
+
+        rcnn_reg_loss = reg_loss(out["rcnn_reg"])
+        # aux: per-layer/per-group token regressions + trajectory branch
+        lxg = out["point_reg"].shape[0] * out["point_reg"].shape[1]
+        aux_point = jax.vmap(reg_loss)(
+            out["point_reg"].reshape((lxg,) + out["point_reg"].shape[2:])
+        ).mean()
+        aux_box = reg_loss(out["box_reg"])
+        rcnn_reg_loss = rcnn_reg_loss + self.aux_weight * (aux_point + aux_box)
+        return rcnn_cls_loss, rcnn_reg_loss
+
     def __call__(self, batch, train: bool = True):
         from .anchor_head import anchor_head_loss
 
@@ -215,52 +210,94 @@ class MPPNet(AnchorDetectorBase):
              "code_weights": lw.get("code_weights", None)},
         )
         rois, roi_scores, roi_valid = self._proposals(rpn_preds)
-        rcnn_cls, rcnn_reg = self.roi_head(
-            rois, roi_valid, batch.points, batch.points_valid, train
+        traj, traj_valid = self._trajectory(rois, roi_valid)
+        out = self.roi_head(
+            rois, roi_valid, traj, traj_valid, batch.points,
+            batch.points_valid, train,
         )
-
-        def roi_iou_one(rr, rv, gt, gv):
-            iou = pairwise_iou3d(rr[:, :7], gt[:, :7])
-            iou = jnp.where(gv[None, :], iou, -1.0)
-            return jnp.max(iou, axis=1), gt[jnp.argmax(iou, axis=1)]
-
-        roi_iou, roi_gt = jax.vmap(roi_iou_one)(
-            rois, roi_valid, batch.gt_boxes, batch.gt_valid
+        rcnn_cls_loss, rcnn_reg_loss = self._head_losses(
+            out, rois, roi_valid, batch
         )
-        cls_t = jnp.where(roi_iou > 0.6, 1.0, 0.0)
-        cared = ((roi_iou > 0.6) | (roi_iou < 0.45)) & roi_valid
-        bce = jnp.clip(rcnn_cls, 0) - rcnn_cls * cls_t + jnp.log1p(
-            jnp.exp(-jnp.abs(rcnn_cls))
-        )
-        rcnn_cls_loss = jnp.sum(bce * cared) / jnp.maximum(jnp.sum(cared), 1.0)
-        reg_mask = (roi_iou > 0.55) & roi_valid
-        reg_t = encode_boxes(roi_gt[..., :7], rois[..., :7])
-        rw = reg_mask.astype(jnp.float32)
-        rw = rw / jnp.maximum(jnp.sum(rw, axis=1, keepdims=True), 1.0)
-        rcnn_reg_loss = jnp.sum(
-            losses.weighted_smooth_l1(rcnn_reg, reg_t, rw)
-        ) / batch.points.shape[0]
-
         total = total + rcnn_cls_loss + rcnn_reg_loss
         tb.update({"rcnn_cls_loss": rcnn_cls_loss,
                    "rcnn_reg_loss": rcnn_reg_loss})
         return total, tb
 
-    def predict(self, batch):
-        rpn_preds = self._rpn(batch, train=False)
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
-        rcnn_cls, rcnn_reg = self.roi_head(
-            rois, roi_valid, batch.points, batch.points_valid, train=False
+    def _refine(self, out, rois, roi_scores, roi_valid):
+        refined = decode_boxes(out["rcnn_reg"], rois[..., :7])
+        # AVG_STAGE1_SCORE geometric mean (ref mppnet_head.py:784)
+        scores = jnp.sqrt(
+            jax.nn.sigmoid(out["rcnn_cls"]) * jnp.maximum(roi_scores, 1e-8)
         )
-        refined = decode_boxes(rcnn_reg, rois[..., :7])
-        scores = jax.nn.sigmoid(rcnn_cls) * roi_scores
         scores = jnp.where(roi_valid, scores, 0.0)
         labels = jnp.ones_like(scores, dtype=jnp.int32)
         return refined, scores, labels, roi_valid
 
+    def predict(self, batch):
+        rpn_preds = self._rpn(batch, train=False)
+        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        traj, traj_valid = self._trajectory(rois, roi_valid)
+        out = self.roi_head(
+            rois, roi_valid, traj, traj_valid, batch.points,
+            batch.points_valid, train=False,
+        )
+        return self._refine(out, rois, roi_scores, roi_valid)
+
 
 class MPPNetE2E(MPPNet):
-    """End-to-end memory-bank variant: stage 1 on the current frame only
+    """End-to-end memory-bank variant: stage 1 on the current frame only,
+    cached proxy geometry features carried across steps
     (reference mppnet_e2e.py + mppnet_memory_bank_e2e.py)."""
 
     first_stage_current_only: bool = True
+
+    def empty_bank(self, batch_size: int) -> MemoryBank:
+        r, p = self.num_rois, self.roi_head.num_proxy
+        tm1 = self.num_frames - 1
+        h = self.roi_head.hidden
+        return MemoryBank(
+            feats=jnp.zeros((batch_size, tm1, r, p, h), jnp.float32),
+            rois=jnp.zeros((batch_size, tm1, r, 7), jnp.float32),
+            valid=jnp.zeros((batch_size, tm1, r), bool),
+        )
+
+    def predict_with_bank(self, batch, bank: MemoryBank):
+        """One online step: detect on the current frame, reuse the cached
+        per-frame geometry features for the history, roll the bank
+        (ref mppnet_memory_bank_e2e.py:360-466 reorder + feature_bank)."""
+        rpn_preds = self._rpn(batch, train=False)
+        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        traj, traj_valid = self._trajectory(rois, roi_valid)
+
+        def match_bank(traj_f, tv, b_rois, b_feat, b_valid):
+            # reorder one bank frame onto the current trajectory by 3D IoU
+            iou = pairwise_iou3d(traj_f[:, :7], b_rois[:, :7])
+            iou = jnp.where(b_valid[None, :], iou, -1.0)
+            best = jnp.argmax(iou, axis=1)
+            ok = (jnp.max(iou, axis=1) >= 0.5) & tv
+            return b_feat[best], ok
+
+        def match_all(traj_b, tv_b, bank_b: MemoryBank):
+            feats, ok = jax.vmap(match_bank)(
+                traj_b[1:], tv_b[1:], bank_b.rois, bank_b.feats, bank_b.valid
+            )
+            return feats, ok
+
+        gfeats, gvalid = jax.vmap(match_all)(traj, traj_valid, bank)
+        out = self.roi_head(
+            rois, roi_valid, traj, traj_valid, batch.points,
+            batch.points_valid, False,
+            geometry_bank=gfeats, bank_valid=gvalid,
+        )
+        new_bank = MemoryBank(
+            feats=jnp.concatenate(
+                [out["geometry_memory"][:, None], bank.feats[:, :-1]], axis=1
+            ),
+            rois=jnp.concatenate(
+                [rois[..., :7][:, None], bank.rois[:, :-1]], axis=1
+            ),
+            valid=jnp.concatenate(
+                [roi_valid[:, None], bank.valid[:, :-1]], axis=1
+            ),
+        )
+        return self._refine(out, rois, roi_scores, roi_valid), new_bank
