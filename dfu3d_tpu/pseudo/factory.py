@@ -17,12 +17,16 @@ save_depth_as_points:136-166 + my_loader.py depth2pointsrgbpm:502-617):
 6. fused cloud: [lidar(xyz, i×10, flag=2) ⧺ pseudo(xyz, 0, rgb/3, flag=1)]
    as (N, 8) fp16 → velodyne_depth/<idx>.npy
 
-External foundation models (SEEM, DepthAnything) stay OUT of process
-(SURVEY §7.3 item 7): the factory consumes precomputed artifacts —
+External foundation models (SEEM, DepthAnything) stay OUT of process by
+default (SURVEY §7.3 item 7): the factory consumes precomputed artifacts —
     seem/<idx>.npz   with masks (K, H, W) bool/uint8, classes (K,) int,
                      scores (K,) float, boxes2d (K, 4)
     depth/<idx>.npy  with (H, W) float32 metric depth
-so the TPU pipeline is hermetic and testable without checkpoints.
+so the TPU pipeline is hermetic and testable without checkpoints. The
+reference's in-process adapter shape is available too: pass a
+`seem_adapter.SeemSegmenter` to `load_frame_inputs(..., segmenter=)` to run
+segmentation live (xdecoder backend when its stack is installed), with the
+npz directory acting as that adapter's cache.
 """
 from __future__ import annotations
 
@@ -95,7 +99,13 @@ class FrameOutputs:
     fused_points: np.ndarray   # (N, 8) fp16
 
 
-def load_frame_inputs(root: Path, idx: str, thing_classes=None) -> FrameInputs:
+def load_frame_inputs(root: Path, idx: str, thing_classes=None,
+                      segmenter=None) -> FrameInputs:
+    """Load one frame's inputs. By default the segmentation comes from the
+    out-of-process seem/<idx>.npz artifact; pass a
+    `seem_adapter.SeemSegmenter` (or any image -> SegmentationResult
+    callable) to run the segmenter in-process instead (the reference's
+    SegSeem arrangement, vis_utils.py:150-152)."""
     from PIL import Image
 
     root = Path(root)
@@ -103,12 +113,21 @@ def load_frame_inputs(root: Path, idx: str, thing_classes=None) -> FrameInputs:
     lidar = kitti_io.read_velodyne_bin(root / "velodyne" / f"{idx}.bin")
     image = np.asarray(Image.open(root / "image_2" / f"{idx}.png").convert("RGB"))
     depth = np.load(root / "depth" / f"{idx}.npy").astype(np.float32)
-    seem = np.load(root / "seem" / f"{idx}.npz")
+    if segmenter is not None:
+        seg = segmenter(image, frame_id=idx) if hasattr(
+            segmenter, "cache_artifact") else segmenter(image)
+        masks, classes = seg.masks, seg.classes
+        scores, boxes2d = seg.scores, seg.boxes2d
+    else:
+        seem = np.load(root / "seem" / f"{idx}.npz")
+        masks, classes = seem["masks"], seem["classes"]
+        scores, boxes2d = seem["scores"], seem["boxes2d"]
     return FrameInputs(
         frame_id=idx, lidar=lidar, image=image, depth=depth, calib=calib,
-        masks=seem["masks"].astype(bool), classes=seem["classes"].astype(int),
-        scores=seem["scores"].astype(np.float32),
-        boxes2d=seem["boxes2d"].astype(np.float32),
+        masks=np.asarray(masks).astype(bool),
+        classes=np.asarray(classes).astype(int),
+        scores=np.asarray(scores).astype(np.float32),
+        boxes2d=np.asarray(boxes2d).astype(np.float32),
     )
 
 
