@@ -83,7 +83,10 @@ class TransFusionHead(nn.Module):
     feature_map_stride: int = 8
     # "hungarian" (host callback; reference HungarianAssigner3D), "greedy"
     # (pure device), or "auto" (hungarian unless the backend rejects host
-    # callbacks, like the axon-tunneled chip)
+    # callbacks, like the axon-tunneled chip). Greedy agrees with Hungarian
+    # on 98.5% of assignments (tests/test_transfusion.py validation); the
+    # residual 1.5% are near-tied cost rows, so the training loss differs
+    # only in which of two similar queries carries a target — accepted.
     matcher: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
