@@ -52,6 +52,10 @@ def main():
                         help="dir of .bin/.npy point clouds, or a single file")
     parser.add_argument("--out_dir", type=str, default="demo_out")
     parser.add_argument("--ext", type=str, default=".bin")
+    parser.add_argument("--view", type=str, default="bev",
+                        choices=["bev", "3d"],
+                        help="bev: top-down PNG; 3d: visual_utils.draw_scenes "
+                        "(reference tools/visual_utils rendering)")
     args = parser.parse_args()
 
     import jax
@@ -111,6 +115,15 @@ def main():
         )
         v = valid[0]
         logger.info(f"{f.name}: {int(v.sum())} boxes")
+        if args.view == "3d":
+            from visual_utils import draw_scenes
+
+            draw_scenes(
+                pts, ref_boxes=boxes[0][v], ref_scores=scores[0][v],
+                ref_labels=labels[0][v], class_names=cfg.CLASS_NAMES,
+                out_png=str(out_dir / f"{f.stem}.png"), backend="mpl",
+            )
+            continue
         draw_bev(
             pts, boxes[0][v], scores[0][v], labels[0][v], cfg.CLASS_NAMES,
             out_dir / f"{f.stem}.png",
