@@ -17,6 +17,7 @@ import numpy as np
 
 from .anchor_head import anchor_head_loss
 from .image.ddn import DDN, ddn_depth_loss, frustum_to_voxel
+from .image.deeplab import RESNET_LAYERS, DDNDeepLabV3
 from .pointpillar import AnchorDetectorBase
 
 
@@ -29,13 +30,47 @@ class CaDDN(AnchorDetectorBase):
         self.num_depth_bins = int(disc.get("num_bins", 80))
         self.depth_min = float(disc.get("depth_min", 2.0))
         self.depth_max = float(disc.get("depth_max", 46.8))
-        self.ddn = DDN(
-            num_depth_bins=self.num_depth_bins,
-            feat_channels=int(ddn_cfg.get("FEAT_CHANNELS", 64)),
-            stem_channels=tuple(ddn_cfg.get("STEM_CHANNELS", (16, 32, 64))),
-            dtype=self.dtype,
-            name="ddn",
+        ddn_name = str(ddn_cfg.get("NAME", "DDNCompact"))
+        if ddn_name == "DDNDeepLabV3":
+            # the reference's actual DDN (CaDDN.yaml:32-37): torchvision
+            # deeplabv3 backbone, features from layer1, CHANNEL_REDUCE after
+            backbone = str(ddn_cfg.get("BACKBONE_NAME", "ResNet101"))
+            layers = (tuple(ddn_cfg["LAYERS"]) if "LAYERS" in ddn_cfg
+                      else RESNET_LAYERS[backbone])
+            self.ddn = DDNDeepLabV3(
+                num_classes=self.num_depth_bins + 1,
+                layers=layers,
+                dtype=self.dtype,
+                name="ddn",
+            )
+        else:
+            self.ddn = DDN(
+                num_depth_bins=self.num_depth_bins,
+                feat_channels=int(ddn_cfg.get("FEAT_CHANNELS", 64)),
+                stem_channels=tuple(ddn_cfg.get("STEM_CHANNELS", (16, 32, 64))),
+                dtype=self.dtype,
+                name="ddn",
+            )
+        # DepthFFN CHANNEL_REDUCE (BasicBlock2D: 1×1 conv + BN + ReLU,
+        # reference depth_ffn.py / CaDDN.yaml:38-41); defaulted on for the
+        # deeplab path whose layer1 features are 256-ch
+        cr = vfe.get(
+            "CHANNEL_REDUCE",
+            {"out_channels": 64} if ddn_name == "DDNDeepLabV3" else None,
         )
+        if cr:
+            self.channel_reduce_conv = nn.Conv(
+                int(cr.get("out_channels", 64)), (1, 1), use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name="channel_reduce_conv",
+            )
+            self.channel_reduce_bn = nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                param_dtype=jnp.float32, name="channel_reduce_bn",
+            )
+        else:
+            self.channel_reduce_conv = None
+            self.channel_reduce_bn = None
         self.depth_loss_weight = float(
             vfe.get("LOSS", {}).get("WEIGHT", 3.0)
         )
@@ -68,6 +103,11 @@ class CaDDN(AnchorDetectorBase):
         ih, iw = batch.images.shape[2:4]
         imgs = batch.images.reshape(b * n_cam, ih, iw, 3)
         feats, depth_logits = self.ddn(imgs, train)
+        if self.channel_reduce_conv is not None:
+            feats = self.channel_reduce_conv(feats.astype(self.dtype))
+            feats = nn.relu(
+                self.channel_reduce_bn(feats, use_running_average=not train)
+            ).astype(self.dtype)
         fh, fw = feats.shape[1:3]
         # frustum features: depth probs (drop the 'beyond' bin) ⊗ features
         probs = jax.nn.softmax(depth_logits, axis=-1)[..., : self.num_depth_bins]

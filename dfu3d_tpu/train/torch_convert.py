@@ -34,6 +34,7 @@ __all__ = [
     "convert_state_dict",
     "centerpoint_pillar_mapping",
     "swin_mapping",
+    "deeplab_ddn_mapping",
     "apply_mapping",
 ]
 
@@ -293,6 +294,49 @@ def swin_mapping(depths=(2, 2, 6, 2), out_indices=(1, 2, 3),
                 f"{ref}.norm.bias", t_merge_norm)
             m[("params",) + mg + ("reduction", "kernel")] = (
                 f"{ref}.reduction.weight", t_merge_reduction)
+    return m
+
+
+def deeplab_ddn_mapping(layers=(3, 4, 23, 3), ours_prefix=(),
+                        torch_prefix="") -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for DDNDeepLabV3 (models/image/deeplab.py) from the
+    torchvision deeplabv3_resnet50/101 state-dict layout the reference loads
+    (ddn_deeplabv3.py: `pretrained_path` deeplabv3_resnet101_coco, or a full
+    CaDDN checkpoint with `torch_prefix="vfe.ffn.ddn.model."`).
+
+    torchvision layout: backbone.{conv1,bn1,layerL.I.*} (IntermediateLayerGetter
+    over resnet), classifier.0 = ASPP (convs.0 1×1, convs.1-3 atrous,
+    convs.4 pooling branch, project), classifier.1/2 = 3×3 conv + BN,
+    classifier.4 = final 1×1. aux_classifier.* is ignored (strict=False).
+    """
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    op, tp = tuple(ours_prefix), torch_prefix
+    _conv(m, op + ("conv1",), f"{tp}backbone.conv1")
+    _bn(m, op + ("bn1",), f"{tp}backbone.bn1")
+    for li, n in enumerate(layers, start=1):
+        for i in range(n):
+            blk = op + (f"layer{li}_{i}",)
+            ref = f"{tp}backbone.layer{li}.{i}"
+            for c in ("conv1", "conv2", "conv3"):
+                _conv(m, blk + (c,), f"{ref}.{c}")
+            for b in ("bn1", "bn2", "bn3"):
+                _bn(m, blk + (b,), f"{ref}.{b}")
+            if i == 0:  # every torchvision layer's first block downsamples
+                _conv(m, blk + ("down_conv",), f"{ref}.downsample.0")
+                _bn(m, blk + ("down_bn",), f"{ref}.downsample.1")
+    aspp = op + ("aspp",)
+    _conv(m, aspp + ("aspp_conv0",), f"{tp}classifier.0.convs.0.0")
+    _bn(m, aspp + ("aspp_bn0",), f"{tp}classifier.0.convs.0.1")
+    for j in range(1, 4):
+        _conv(m, aspp + (f"aspp_conv{j}",), f"{tp}classifier.0.convs.{j}.0")
+        _bn(m, aspp + (f"aspp_bn{j}",), f"{tp}classifier.0.convs.{j}.1")
+    _conv(m, aspp + ("aspp_pool_conv",), f"{tp}classifier.0.convs.4.1")
+    _bn(m, aspp + ("aspp_pool_bn",), f"{tp}classifier.0.convs.4.2")
+    _conv(m, aspp + ("aspp_project",), f"{tp}classifier.0.project.0")
+    _bn(m, aspp + ("aspp_project_bn",), f"{tp}classifier.0.project.1")
+    _conv(m, op + ("head_conv",), f"{tp}classifier.1")
+    _bn(m, op + ("head_bn",), f"{tp}classifier.2")
+    _conv(m, op + ("head_out",), f"{tp}classifier.4", bias=True)
     return m
 
 

@@ -136,6 +136,35 @@ class TestCaDDN:
         batch = _mm_batch(np.random.RandomState(0))
         tb = _smoke(model, batch, check_tb=("depth_loss",))
 
+    def test_deeplab_ddn_variant(self):
+        """CaDDN with the reference's actual DDN (DDNDeepLabV3 +
+        CHANNEL_REDUCE, CaDDN.yaml:32-41) runs end to end at reduced depth:
+        loss, grads, predict."""
+        from test_pointpillar import pp_model_cfg
+
+        cfg = pp_model_cfg()
+        cfg["NAME"] = "CaDDN"
+        cfg["VFE"] = {"NAME": "ImageVFE",
+                      "DDN": {"NAME": "DDNDeepLabV3",
+                              "BACKBONE_NAME": "ResNet50",
+                              "LAYERS": [1, 1, 1, 1]},
+                      "CHANNEL_REDUCE": {"in_channels": 256,
+                                         "out_channels": 16},
+                      "DISC_CFG": {"num_bins": 12, "depth_min": 2.0,
+                                   "depth_max": 14.0}}
+        cfg["MAP_TO_BEV"] = {"NAME": "Conv2DCollapse", "NUM_BEV_FEATURES": 16}
+        for c in cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"]:
+            c["feature_map_stride"] = 2
+        cfg["BACKBONE_2D"] = {
+            "NAME": "BaseBEVBackbone", "LAYER_NUMS": [1], "LAYER_STRIDES": [2],
+            "NUM_FILTERS": [16], "UPSAMPLE_STRIDES": [1],
+            "NUM_UPSAMPLE_FILTERS": [16],
+        }
+        model = build_network(CfgDict(cfg), ["Car", "Pedestrian", "Cyclist"],
+                              _grid())
+        batch = _mm_batch(np.random.RandomState(4))
+        _smoke(model, batch, check_tb=("depth_loss",))
+
 
 class TestTransFusion:
     def test_loss_grads_predict(self):

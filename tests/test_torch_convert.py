@@ -480,3 +480,142 @@ class TestCenterHeadFallback:
         preds = head.apply(variables, x, False, mutable=["batch_stats"])[0]
         assert preds[0]["hm"].shape[-1] == 1
         assert preds[0]["dim"].shape[-1] == 3
+
+
+class TestDeepLabDDN:
+    """DDNDeepLabV3 converter: full-graph logits equality against a plain-
+    torch mirror of the torchvision deeplabv3 graph (torchvision itself is
+    not installed here; the mirror reproduces its module/state-dict layout —
+    backbone.layerL.I.{conv,bn,downsample}, classifier.0 ASPP — exactly, so
+    the mapping keys are the real checkpoint keys)."""
+
+    LAYERS = (2, 2, 2, 2)
+    NUM_CLASSES = 11
+
+    def _torch_model(self):
+        import torch.nn as tnn
+
+        def bottleneck(cin, planes, stride=1, dilation=1):
+            m = tnn.Module()
+            m.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+            m.bn1 = tnn.BatchNorm2d(planes)
+            m.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                 padding=dilation, dilation=dilation,
+                                 bias=False)
+            m.bn2 = tnn.BatchNorm2d(planes)
+            m.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            m.bn3 = tnn.BatchNorm2d(planes * 4)
+            if stride != 1 or cin != planes * 4:
+                m.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+                    tnn.BatchNorm2d(planes * 4))
+            else:
+                m.downsample = None
+
+            def fwd(x, m=m):
+                idn = x
+                y = tnn.functional.relu(m.bn1(m.conv1(x)))
+                y = tnn.functional.relu(m.bn2(m.conv2(y)))
+                y = m.bn3(m.conv3(y))
+                if m.downsample is not None:
+                    idn = m.downsample(x)
+                return tnn.functional.relu(y + idn)
+
+            m.forward = fwd
+            return m
+
+        # torchvision resnet._make_layer with
+        # replace_stride_with_dilation=[False, True, True]
+        model = tnn.Module()
+        backbone = tnn.Module()
+        backbone.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        backbone.bn1 = tnn.BatchNorm2d(64)
+        inplanes, dilation = 64, 1
+        plan = [(64, 1, False), (128, 2, False), (256, 2, True),
+                (512, 2, True)]
+        for li, ((planes, stride, dilate), n) in enumerate(
+                zip(plan, self.LAYERS), start=1):
+            prev = dilation
+            if dilate:
+                dilation *= stride
+                stride = 1
+            blocks = [bottleneck(inplanes, planes, stride, prev)]
+            inplanes = planes * 4
+            blocks += [bottleneck(inplanes, planes, 1, dilation)
+                       for _ in range(n - 1)]
+            setattr(backbone, f"layer{li}", tnn.Sequential(*blocks))
+        model.backbone = backbone
+
+        def aspp_branch(k, rate=None):
+            conv = (tnn.Conv2d(2048, 256, 1, bias=False) if k == 1 else
+                    tnn.Conv2d(2048, 256, 3, padding=rate, dilation=rate,
+                               bias=False))
+            return tnn.Sequential(conv, tnn.BatchNorm2d(256), tnn.ReLU())
+
+        aspp = tnn.Module()
+        aspp.convs = tnn.ModuleList(
+            [aspp_branch(1)] + [aspp_branch(3, r) for r in (12, 24, 36)]
+            + [tnn.Sequential(tnn.AdaptiveAvgPool2d(1),
+                              tnn.Conv2d(2048, 256, 1, bias=False),
+                              tnn.BatchNorm2d(256), tnn.ReLU())])
+        aspp.project = tnn.Sequential(
+            tnn.Conv2d(5 * 256, 256, 1, bias=False), tnn.BatchNorm2d(256),
+            tnn.ReLU(), tnn.Dropout(0.5))
+
+        def aspp_fwd(x, aspp=aspp):
+            res = [c(x) for c in aspp.convs[:4]]
+            p = aspp.convs[4](x)
+            res.append(tnn.functional.interpolate(
+                p, size=x.shape[-2:], mode="bilinear", align_corners=False))
+            return aspp.project(torch.cat(res, dim=1))
+
+        aspp.forward = aspp_fwd
+        model.classifier = tnn.Sequential(
+            aspp, tnn.Conv2d(256, 256, 3, padding=1, bias=False),
+            tnn.BatchNorm2d(256), tnn.ReLU(),
+            tnn.Conv2d(256, self.NUM_CLASSES, 1))
+        return model
+
+    def test_logits_equality(self):
+        from dfu3d_tpu.models.image.deeplab import DDNDeepLabV3
+
+        torch.manual_seed(0)
+        model = self._torch_model()
+        for mod in model.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                _sync_bn_torch(mod)
+        model.eval()
+
+        rng = np.random.RandomState(3)
+        img = rng.randn(1, 64, 96, 3).astype(np.float32)
+        with torch.no_grad():
+            x = torch.tensor(img.transpose(0, 3, 1, 2))
+            x = torch.nn.functional.relu(
+                model.backbone.bn1(model.backbone.conv1(x)))
+            x = torch.nn.functional.max_pool2d(x, 3, stride=2, padding=1)
+            feats_t = model.backbone.layer1(x)
+            x = model.backbone.layer4(model.backbone.layer3(
+                model.backbone.layer2(feats_t)))
+            out = model.classifier(x)
+            # ddn_template.forward: logits resized to the layer1 feature map
+            logits_t = torch.nn.functional.interpolate(
+                out, size=feats_t.shape[-2:], mode="bilinear",
+                align_corners=False).numpy().transpose(0, 2, 3, 1)
+        feats_t = feats_t.numpy().transpose(0, 2, 3, 1)
+
+        ddn = DDNDeepLabV3(num_classes=self.NUM_CLASSES, layers=self.LAYERS,
+                           pretrained_preprocess=False)
+        variables = ddn.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                             train=False)
+        state = {k: v.detach().numpy()
+                 for k, v in model.state_dict().items()}
+        mapping = tc.deeplab_ddn_mapping(layers=self.LAYERS)
+        new_vars, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"][:8]
+        assert not report["unmatched_ours"], report["unmatched_ours"][:8]
+
+        feats_j, logits_j = ddn.apply(new_vars, jnp.asarray(img), train=False)
+        np.testing.assert_allclose(np.asarray(feats_j), feats_t,
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(logits_j), logits_t,
+                                   rtol=2e-4, atol=3e-4)
