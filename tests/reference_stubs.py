@@ -144,6 +144,10 @@ def install_reference_stubs():
             parent, _, child = leaf.rpartition(".")
             if parent and parent in sys.modules:
                 setattr(sys.modules[parent], child, m)
+    # matplotlib probes sys.modules["tensorflow"].is_tensor on EVERY axis
+    # conversion — the permissive stub's truthy answer sends it into a
+    # conversion loop (RecursionError in 3D renders). Answer honestly.
+    sys.modules["tensorflow"].is_tensor = lambda x: False
 
 
 class EDict(dict):
