@@ -132,6 +132,90 @@ class DataProcessor:
         self._check_voxel_occupancy(data_dict)
         return data_dict
 
+    def calculate_grid_size(self, data_dict=None, config=None):
+        """Record grid geometry only — the image-branch (CaDDN) pipeline has
+        no point voxelization (reference data_processor.py:216-222)."""
+        if data_dict is None:
+            self._record_grid(config)
+            return partial(self.calculate_grid_size, config=config)
+        return data_dict
+
+    def downsample_depth_map(self, data_dict=None, config=None):
+        """Block-mean depth downsample (reference data_processor.py:224-233,
+        skimage downscale_local_mean semantics with edge padding)."""
+        if data_dict is None:
+            self.depth_downsample_factor = int(config.DOWNSAMPLE_FACTOR)
+            return partial(self.downsample_depth_map, config=config)
+        dm = np.asarray(data_dict.get("depth_maps"))
+        if dm is None or dm.size == 0:
+            return data_dict
+        f = self.depth_downsample_factor
+        h, w = dm.shape[:2]
+        ph, pw = (-h) % f, (-w) % f
+        if ph or pw:
+            dm = np.pad(dm, ((0, ph), (0, pw)), mode="constant")
+        hh, ww = dm.shape[0] // f, dm.shape[1] // f
+        data_dict["depth_maps"] = dm.reshape(hh, f, ww, f).mean(axis=(1, 3))
+        return data_dict
+
+    def image_normalization(self, data_dict=None, config=None):
+        """Per-channel image normalization (reference image_normalize,
+        data_processor.py:235-247; both spellings accepted)."""
+        if data_dict is None:
+            return partial(self.image_normalization, config=config)
+        mean = np.asarray(config.mean, np.float32)
+        std = np.asarray(config.std, np.float32)
+        for key in ("images", "camera_imgs"):
+            if data_dict.get(key) is None:
+                continue
+            imgs = data_dict[key]
+            single = not isinstance(imgs, (list, tuple))
+            out = []
+            for img in [imgs] if single else imgs:
+                img = np.asarray(img)
+                if img.dtype == np.uint8:
+                    img = img.astype(np.float32) / 255.0
+                out.append((img.astype(np.float32) - mean) / std)
+            data_dict[key] = out[0] if single else out
+        return data_dict
+
+    # reference spelling (bevfusion dataset configs use image_normalize)
+    image_normalize = image_normalization
+
+    def image_calibrate(self, data_dict=None, config=None):
+        """Fold the recorded image-aug (resize/crop/flip/rotate) into 4×4
+        post-homography matrices (reference data_processor.py:249-283)."""
+        if data_dict is None:
+            return partial(self.image_calibrate, config=config)
+        infos = data_dict.get("img_process_infos")
+        if not infos:
+            n = len(data_dict.get("camera_imgs", data_dict.get("images", [])) or [1])
+            data_dict["img_aug_matrix"] = [np.eye(4, dtype=np.float32)] * n
+            return data_dict
+        transforms = []
+        for resize, crop, flip, rotate in infos:
+            rotation = np.eye(2, dtype=np.float32) * resize
+            translation = -np.asarray(crop[:2], np.float32)
+            if flip:
+                A = np.array([[-1, 0], [0, 1]], np.float32)
+                rotation = A @ rotation
+                translation = A @ translation + np.array(
+                    [crop[2] - crop[0], 0], np.float32)
+            theta = rotate / 180.0 * np.pi
+            A = np.array([[np.cos(theta), np.sin(theta)],
+                          [-np.sin(theta), np.cos(theta)]], np.float32)
+            b = np.array([crop[2] - crop[0], crop[3] - crop[1]],
+                         np.float32) / 2.0
+            b = A @ (-b) + b
+            rotation = A @ rotation
+            translation = A @ translation + b
+            t = np.eye(4, dtype=np.float32)
+            t[:2, :2] = rotation
+            t[:2, 3] = translation
+            transforms.append(t)
+        data_dict["img_aug_matrix"] = transforms
+        return data_dict
+
     def sample_points(self, data_dict=None, config=None):
         if data_dict is None:
             return partial(self.sample_points, config=config)

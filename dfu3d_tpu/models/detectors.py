@@ -44,7 +44,12 @@ class CenterPoint(nn.Module):
     def setup(self):
         cfg = self.cfg
         vfe_cfg = cfg.VFE
-        self._use_voxel_backbone = "BACKBONE_3D" in cfg
+        # BACKBONE_3D with a null/empty NAME counts as absent so derived
+        # configs can switch a voxel base back to the pillar path (yaml
+        # inheritance can override but not delete keys)
+        self._use_voxel_backbone = bool(
+            cfg.get("BACKBONE_3D") and cfg.BACKBONE_3D.get("NAME")
+        )
         self._use_dsvt = (
             self._use_voxel_backbone
             and cfg.BACKBONE_3D.get("NAME", "") == "DSVT"
@@ -69,18 +74,27 @@ class CenterPoint(nn.Module):
             # voxel CenterPoint: MeanVFE + sparse 3D backbone (the reference's
             # alternative config, centerpoint_nuscenes2kitti.yaml:100-180)
             from ..core.voxel.sparse_ops import SparseGrid
-            from .sparse_backbone import VoxelBackBone8x
+            from .sparse_backbone import VoxelBackBone8x, VoxelResBackBone8x
 
             assert vfe_cfg.NAME == "MeanVFE", vfe_cfg.NAME
             nx, ny, nz = self.grid.grid_size
             bb3d = cfg.BACKBONE_3D
-            self.backbone_3d = VoxelBackBone8x(
-                grid=SparseGrid(nx, ny, nz),
-                voxel_cap=self.max_voxels,
-                channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
-                out_channels=bb3d.get("OUT_CHANNELS", 128),
-                dtype=self.dtype,
-            )
+            if bb3d.NAME == "VoxelResBackBone8x":
+                self.backbone_3d = VoxelResBackBone8x(
+                    grid=SparseGrid(nx, ny, nz),
+                    voxel_cap=self.max_voxels,
+                    channels=tuple(bb3d.get("CHANNELS", (16, 32, 64, 128))),
+                    out_channels=bb3d.get("OUT_CHANNELS", 128),
+                    dtype=self.dtype,
+                )
+            else:
+                self.backbone_3d = VoxelBackBone8x(
+                    grid=SparseGrid(nx, ny, nz),
+                    voxel_cap=self.max_voxels,
+                    channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
+                    out_channels=bb3d.get("OUT_CHANNELS", 128),
+                    dtype=self.dtype,
+                )
         else:
             assert vfe_cfg.NAME in ("DynPillarVFE", "DynamicPillarVFE"), vfe_cfg.NAME
             self.vfe = DynPillarVFE(

@@ -109,6 +109,19 @@ class VoxelNeXt(nn.Module):
                                 bias_init=nn.initializers.constant(-2.19),
                                 name="hm_head")
         self.reg_head = nn.Dense(8, param_dtype=jnp.float32, name="reg_head")
+        # IoU branch (reference voxelnext_ioubranch configs /
+        # voxelnext_head.py IoU path): per-voxel IoU estimate, L1-trained
+        # against the decoded box's actual IoU, rectifying scores at
+        # inference — same convention as SECONDNetIoU (pointpillar.py:153).
+        self.use_iou_branch = bool(dh.get("IOU_BRANCH", False))
+        rect = dh.get("IOU_RECTIFIER", 0.68)
+        self.iou_rectifier = (
+            [float(r) for r in rect] if isinstance(rect, (list, tuple))
+            else [float(rect)] * len(self.class_names)
+        )
+        if self.use_iou_branch:
+            self.iou_head = nn.Dense(1, param_dtype=jnp.float32,
+                                     name="iou_head")
         self.bev_cap = int(cfg.get("BEV_CAP", self.max_voxels // 4))
 
     def _features(self, batch, train: bool):
@@ -151,6 +164,13 @@ class VoxelNeXt(nn.Module):
             bev = blk(bev, train)
         hm = self.hm_head(bev.features.astype(jnp.float32))
         reg = self.reg_head(bev.features.astype(jnp.float32))
+        if self.use_iou_branch:
+            # iou rides as a 9th reg channel so the TTA merge and decode
+            # gather paths stay unchanged
+            reg = jnp.concatenate(
+                [reg, self.iou_head(bev.features.astype(jnp.float32))],
+                axis=-1,
+            )
         return bev, hm, reg
 
     def _voxel_xy(self, bev: SparseTensor):
@@ -226,14 +246,44 @@ class VoxelNeXt(nn.Module):
         hm_prob = losses.sigmoid_clamped(hm)
         hm_prob = jnp.where(bev.valid[..., None], hm_prob, 1e-4)
         hm_loss = losses.focal_loss_centernet(hm_prob, hm_t)
-        reg_loss = losses.reg_loss_centernet(reg, reg_t, inds, mask)
+        reg_loss = losses.reg_loss_centernet(reg[..., :8], reg_t, inds, mask)
         lw = self.cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
         code_w = jnp.asarray(lw.get("code_weights", [1.0] * 8), jnp.float32)
         total = (
             hm_loss * lw.get("cls_weight", 1.0)
             + jnp.sum(reg_loss * code_w) * lw.get("loc_weight", 0.25)
         )
-        return total, {"hm_loss": hm_loss, "rpn_loss": total}
+        tb = {"hm_loss": hm_loss}
+        if self.use_iou_branch:
+            # L1 between tanh(iou_pred) at each claimed voxel and the actual
+            # IoU3D of the decoded box vs its gt (SECONDNetIoU convention)
+            from ..core.geometry.iou import aligned_iou3d
+
+            vx, vy = self._voxel_xy(bev)
+            rp = jnp.take_along_axis(reg, inds[..., None], axis=1)  # (B,M,9)
+            boxes_p = jnp.stack(
+                [
+                    jnp.take_along_axis(vx, inds, axis=1) + rp[..., 0],
+                    jnp.take_along_axis(vy, inds, axis=1) + rp[..., 1],
+                    rp[..., 2],
+                    jnp.exp(rp[..., 3]), jnp.exp(rp[..., 4]),
+                    jnp.exp(rp[..., 5]),
+                    jnp.arctan2(rp[..., 7], rp[..., 6]),
+                ],
+                axis=-1,
+            )
+            actual = jax.vmap(aligned_iou3d)(
+                jax.lax.stop_gradient(boxes_p), batch.gt_boxes[..., :7]
+            )
+            w = mask.astype(jnp.float32)
+            w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+            iou_loss = jnp.sum(
+                jnp.abs(jnp.tanh(rp[..., 8]) - actual) * w
+            ) / reg.shape[0]
+            total = total + iou_loss
+            tb["iou_loss"] = iou_loss
+        tb["rpn_loss"] = total
+        return total, tb
 
     def _tta_double_flip(self, batch):
         """double_flip TTA: forward orig + yflip + xflip + xyflip point sets,
@@ -265,7 +315,7 @@ class VoxelNeXt(nn.Module):
         coords = bev.coords.reshape(4, b, v, 3)
         valid = bev.valid.reshape(4, b, v)
         prob = jax.nn.sigmoid(hm).reshape(4, b, v, -1)
-        reg = reg.reshape(4, b, v, 8)
+        reg = reg.reshape(4, b, v, reg.shape[-1])
         # activate dims pre-average (reference sigmoids hm / exps dim first)
         reg = reg.at[..., 3:6].set(jnp.exp(reg[..., 3:6]))
 
@@ -288,6 +338,10 @@ class VoxelNeXt(nn.Module):
             ],
             axis=-1,
         )  # (4, 8)
+        if reg.shape[-1] > 8:  # iou channel (flip-invariant)
+            reg_scale = jnp.concatenate(
+                [reg_scale, jnp.ones((4, reg.shape[-1] - 8))], axis=-1
+            )
         reg = reg * reg_scale[:, None, None, :]
 
         # merge: per sample, segment-mean over unique un-flipped (x, y) cells
@@ -371,6 +425,14 @@ class VoxelNeXt(nn.Module):
             ],
             axis=-1,
         )
+        if self.use_iou_branch and pp.get("USE_IOU_TO_RECTIFY_SCORE", True):
+            # per-class score rectification score^(1-w) · iou^w
+            # (voxelnext_ioubranch configs; second_net_iou.py semantics)
+            iou = jnp.clip(jnp.tanh(r[..., 8]), 0.0, 1.0)
+            w = jnp.asarray(self.iou_rectifier, jnp.float32)[cls - 1]
+            scores = jnp.power(jnp.maximum(scores, 1e-8), 1.0 - w) * jnp.power(
+                jnp.maximum(iou, 1e-4), w
+            )
         valid = scores > float(pp.get("SCORE_THRESH", 0.1))
 
         nms_cfg = pp.NMS_CONFIG

@@ -94,7 +94,10 @@ def merge_new_config(config, new_config, cfg_path: Path | None = None):
     """Recursive merge with `_BASE_CONFIG_` expansion (reference config.py:51-68)."""
     if "_BASE_CONFIG_" in new_config:
         base_file = _resolve_base_path(new_config["_BASE_CONFIG_"], cfg_path or Path.cwd())
-        config.update(CfgDict(_load_yaml(base_file)))
+        # expand the base recursively so base files may themselves inherit
+        # (model-variant chains like second_ps → second → dataset base);
+        # the reference's merge (config.py:51-68) loads one level only
+        merge_new_config(config, CfgDict(_load_yaml(base_file)), base_file)
 
     for key, val in new_config.items():
         if key == "_BASE_CONFIG_":
