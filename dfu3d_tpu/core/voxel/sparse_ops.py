@@ -96,8 +96,36 @@ def build_cell_map(grid: SparseGrid, coords, valid):
                             unique_indices=True)
 
 
-def build_cell_map_batched(grid: SparseGrid, coords, valid):
-    """(B, num_cells+3) dense maps via ONE flat scatter.
+class CellMap(NamedTuple):
+    """Dense cell→slot map plus an optional x-pair-packed companion.
+
+    `slots`: the `build_cell_map` layout (value slot+1, 0 = empty, cell c at
+    index c+1). `pair`: uint32 with pair[i] = slots[i] | slots[i+1] << 16 —
+    one u32 gather fetches TWO consecutive x-taps. Motivation (measured on
+    chip, round 3, 90M-cell stride-1 grid): XLA decomposes a
+    slice_sizes=(3,) window gather into 3 element-gather fusions
+    (~13.5 ms/step each at 1.08M rows); gathers cost ~constant time per ROW,
+    so packing taps into wider elements is the only way to cut the row
+    count. Only built while slot+1 fits 16 bits (map_dtype uint16)."""
+
+    slots: jnp.ndarray
+    pair: jnp.ndarray | None
+
+
+def _pack_pair(flat_slots):
+    """pair[i] = m[i] | m[i+1]<<16 over the flat (B·stride,) u16 map.
+
+    The +1 shift at an element boundary reads the NEXT element's index 0 —
+    its leading zero pad — and valid window starts never address the last
+    two pad rows, so no cross-element leakage is observable."""
+    m32 = flat_slots.astype(jnp.uint32)
+    nxt = jnp.concatenate([m32[1:], m32[:1]])
+    return m32 | (nxt << jnp.uint32(16))
+
+
+def build_cell_map_batched(grid: SparseGrid, coords, valid,
+                           with_pair: bool = True) -> CellMap:
+    """(B, num_cells+3) dense maps via ONE flat scatter (+ pair companion).
 
     `jax.vmap(build_cell_map)` lowers the batched scatter to a sequential
     while-loop of 4·num_cells-byte dynamic-update-slices (measured round 2:
@@ -122,13 +150,24 @@ def build_cell_map_batched(grid: SparseGrid, coords, valid):
     # one parallel scatter instead of a sequential while loop
     flat = flat.at[ids.reshape(-1)].set(slots.reshape(-1), mode="drop",
                                         unique_indices=True)
-    return flat.reshape(b, stride)
+    pair = None
+    if with_pair and dt == jnp.uint16:
+        pair = _pack_pair(flat).reshape(b, stride)
+    return CellMap(flat.reshape(b, stride), pair)
+
+
+def _map_parts(cell_map):
+    """Accept a CellMap or a bare slots array (oracle tests / focal path)."""
+    if isinstance(cell_map, CellMap):
+        return cell_map.slots, cell_map.pair
+    return cell_map, None
 
 
 def find_neighbors_via_map(grid: SparseGrid, query_coords, query_valid,
                            cell_map, v: int, offsets):
     """Dense-map twin of `find_neighbors`: (Q, K) indices, sentinel = v.
     `cell_map` uses the padded layout of `build_cell_map` (cell c at p=c+1)."""
+    cell_map, _ = _map_parts(cell_map)
     off = jnp.asarray(offsets, jnp.int32)
     q = query_coords[:, None, :] + off[None, :, :]
     qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
@@ -176,6 +215,7 @@ def find_neighbors_via_map_packed(grid: SparseGrid, query_coords, query_valid,
     c + 1), so window starts never clamp: the window for cells
     (L−1, L, L+1) begins at index L.
     """
+    cell_map, pair = _map_parts(cell_map)
     off = np.asarray(offsets)
     k = off.shape[0]
     gk = k // 3
@@ -193,13 +233,27 @@ def find_neighbors_via_map_packed(grid: SparseGrid, query_coords, query_valid,
     )
     lin0 = jnp.where(ctr_ok, (qz * grid.ny + qy) * grid.nx + qx,
                      grid.num_cells + 1)
-    start = lin0.reshape(-1, 1).astype(jnp.int32)
-    win = jax.lax.gather(
-        cell_map, start,
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)),
-        slice_sizes=(3,), mode="clip",
-    ).reshape(qn, gk, 3)                                      # [q, g, dx]
+    if pair is not None:
+        # 2 gathers instead of 3: taps (−1, 0) from the u32 pair map, tap
+        # (+1) from the u16 map (slice_sizes windows decompose into one
+        # element-gather fusion PER TAP on this backend — row count is the
+        # cost, so pack taps into element width)
+        st = lin0.reshape(-1)
+        p = jnp.take(pair, st, axis=0).reshape(qn, gk)
+        t01 = jnp.stack(
+            [(p & jnp.uint32(0xFFFF)), (p >> jnp.uint32(16))], axis=-1
+        ).astype(cell_map.dtype)
+        t2 = jnp.take(cell_map, st + 2, axis=0).reshape(qn, gk, 1)
+        win = jnp.concatenate([t01, t2], axis=-1)             # (Q, gk, 3)
+    else:
+        start = lin0.reshape(-1, 1).astype(jnp.int32)
+        win = jax.lax.gather(
+            cell_map, start,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(3,), mode="clip",
+        ).reshape(qn, gk, 3)                                  # [q, g, dx]
     # per-tap validity: x bound of each dx tap (windows crossing a y-row
     # fetch the adjacent row's cells — masked here)
     dx = jnp.asarray([-1, 0, 1], jnp.int32)
@@ -250,6 +304,7 @@ def transpose_down_neighbors(down_grid: SparseGrid, in_coords, in_valid,
     center(q) = 2·out_coord (xyz stride) or (x, y, 2·z) (z_only). Used by the
     gather-only backward of the strided conv (models/sparse_backbone.py).
     """
+    out_cmap, _ = _map_parts(out_cmap)
     off = jnp.asarray(offsets, jnp.int32)  # (K, 3)
     t = in_coords[:, None, :] - off[None, :, :]  # (V, K, 3) implied centers
     if z_only:
@@ -285,6 +340,7 @@ def transpose_down_neighbors_packed(down_grid: SparseGrid, in_coords,
     Selecting each tap's cell from the fetched 8 is then pure VPU arithmetic
     (take_along_axis over an 8-wide axis).
     """
+    out_cmap, pair = _map_parts(out_cmap)
     off = np.asarray(offsets)
     assert off.shape[0] == 27 and np.all(np.abs(off) <= 1), "3x3x3 only"
     x, y, z = in_coords[:, 0], in_coords[:, 1], in_coords[:, 2]
@@ -304,12 +360,20 @@ def transpose_down_neighbors_packed(down_grid: SparseGrid, in_coords,
     # map index of a 2-slice covering cells (c0, c0+1) is c0+1 (padded
     # layout); invalid rows start at the trailing −1 pads. c0 ≥ −1 always.
     start = jnp.where(row_ok, c0 + 1, down_grid.num_cells + 1)
-    win = jax.lax.gather(
-        out_cmap, start.reshape(-1, 1).astype(jnp.int32),
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)),
-        slice_sizes=(2,), mode="clip",
-    ).reshape(v, 8)                                  # [(dz,dy) major, dx minor]
+    if pair is not None:
+        # both taps of each 2-wide window from ONE u32 pair-map gather
+        p = jnp.take(pair, start.reshape(-1), axis=0).reshape(v, 4)
+        win = jnp.stack(
+            [(p & jnp.uint32(0xFFFF)), (p >> jnp.uint32(16))], axis=-1
+        ).astype(out_cmap.dtype).reshape(v, 8)
+    else:
+        win = jax.lax.gather(
+            out_cmap, start.reshape(-1, 1).astype(jnp.int32),
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(2,), mode="clip",
+        ).reshape(v, 8)                              # [(dz,dy) major, dx minor]
 
     oj = jnp.asarray(off, jnp.int32)                 # (27, 3) = (ox, oy, oz)
     tx = x[:, None] - oj[None, :, 0]                 # implied center per tap

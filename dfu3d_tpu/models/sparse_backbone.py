@@ -134,6 +134,28 @@ def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
     )
 
 
+# Gather-GEMM formulation switch. "fused" issues ONE (B·Q·K)-row gather and
+# ONE dot_general contracting (K, Cin); "loop" issues K row-gathers each
+# feeding a skinny (Cin, Cout) matmul accumulated elementwise. A/B on chip
+# (round 3, SECOND 60k voxels B=2, same session, 2× repeated): loop 308 ms,
+# fused 361 ms — XLA fuses each per-k gather into its GEMM and keeps the
+# accumulator live, while the fused form must materialize the (B, Q, K, Cin)
+# gather output through HBM before the contraction. Loop stays the default;
+# the fused path is kept (equivalence-tested, test_sparse_vjp.py
+# TestGatherGemmForms) as the documented losing arm so it isn't re-explored.
+GATHER_GEMM_FORM = "loop"  # "loop" | "fused"
+
+
+def _padded_rows(feats, valid):
+    """Mask invalid rows, append one zero row per element, flatten to
+    (B·(V+1), C) so batched sentinel indices hit the zero row."""
+    b, v, c = feats.shape
+    feats_masked = jnp.where(valid[..., None], feats, 0.0)
+    return jnp.concatenate(
+        [feats_masked, jnp.zeros((b, 1, c), feats.dtype)], axis=1
+    ).reshape(b * (v + 1), c)
+
+
 def _gather_gemm(feats, valid, neighbor_idx, kernel):
     """Σ_k gather(feats, nbr[..., k]) @ W[k]; sentinel index V → zero row.
 
@@ -145,10 +167,15 @@ def _gather_gemm(feats, valid, neighbor_idx, kernel):
     """
     b, v, cin = feats.shape
     q, k = neighbor_idx.shape[1], neighbor_idx.shape[2]
-    feats_masked = jnp.where(valid[..., None], feats, 0.0)
-    padded = jnp.concatenate(
-        [feats_masked, jnp.zeros((b, 1, cin), feats.dtype)], axis=1
-    ).reshape(b * (v + 1), cin)
+    padded = _padded_rows(feats, valid)
+    if GATHER_GEMM_FORM == "fused":
+        base = (jnp.arange(b, dtype=jnp.int32) * (v + 1))[:, None, None]
+        idx = (neighbor_idx + base).reshape(-1)  # (B·Q·K,)
+        g = jnp.take(padded, idx, axis=0).reshape(b, q, k, cin)
+        return jax.lax.dot_general(
+            g, kernel, dimension_numbers=(((2, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(feats.dtype)
     base = (jnp.arange(b, dtype=jnp.int32) * (v + 1))[:, None]
     out = None
     for j in range(k):
@@ -196,11 +223,30 @@ def _shared_gather_bwd(feats, valid, nbr, kernel, g, flip: bool):
     b, v, cin = feats.shape
     k = nbr.shape[2]
     d = g.shape[-1]
+    qdim = g.shape[1]
     g_padded = jnp.concatenate(
         [g, jnp.zeros((b, 1, d), g.dtype)], axis=1
-    ).reshape(b * (g.shape[1] + 1), d)
-    base = (jnp.arange(b, dtype=jnp.int32) * (g.shape[1] + 1))[:, None]
+    ).reshape(b * (qdim + 1), d)
     feats_masked = jnp.where(valid[..., None], feats, 0.0)
+    if GATHER_GEMM_FORM == "fused":
+        base = (jnp.arange(b, dtype=jnp.int32) * (qdim + 1))[:, None, None]
+        idx = (nbr + base).reshape(-1)
+        gt = jnp.take(g_padded, idx, axis=0).reshape(b, v, k, d)
+        # per-j weight: kernel[K-1-j]ᵀ (flip) / kernel[j]ᵀ — fold the flip
+        # into the weight's K axis so both dX and dW are single contractions
+        kern_j = (kernel[::-1] if flip else kernel).transpose(0, 2, 1)
+        dx = jax.lax.dot_general(  # contract (k, d) → (B, V, Cin)
+            gt, kern_j, dimension_numbers=(((2, 3), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dW[wk] = Σ_{b,v} feats[b,v,:] ⊗ gt[b,v,j,:]; wk = flip(j)
+        dw = jnp.einsum("bvc,bvkd->kcd", feats_masked, gt,
+                        preferred_element_type=jnp.float32)
+        if flip:
+            dw = dw[::-1]
+        dx = jnp.where(valid[..., None], dx, 0.0).astype(feats.dtype)
+        return dx, dw.astype(kernel.dtype)
+    base = (jnp.arange(b, dtype=jnp.int32) * (qdim + 1))[:, None]
     dx = None
     dws = [None] * k
     for j in range(k):

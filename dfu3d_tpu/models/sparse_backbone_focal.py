@@ -169,7 +169,7 @@ class FocalSparseConv(nn.Module):
         # padded map layout (build_cell_map): cell c at index c + 1, value
         # slot+1 with 0 = empty
         occupied = jnp.take_along_axis(
-            cmap, lin.reshape(b, -1) + 1, axis=1
+            cmap.slots, lin.reshape(b, -1) + 1, axis=1
         ).reshape(lin.shape) > 0
         cand_ok = cand_ok & ~occupied
 

@@ -15,28 +15,8 @@ import jax
 import numpy as np
 import tqdm
 
-from ..core.geometry import pairwise_iou3d
 from ..parallel import make_mesh, shard_batch
 from .train_state import make_eval_step
-
-
-def _recall_counts(pred_boxes, gt_boxes, thresh_list):
-    """recall_rcnn_{t} counters for one frame (numpy, small N)."""
-    out = {f"rcnn_{t}": 0 for t in thresh_list}
-    out["gt"] = len(gt_boxes)
-    if len(gt_boxes) == 0:
-        return out
-    if len(pred_boxes) == 0:
-        return out
-    import jax.numpy as jnp
-
-    iou = np.asarray(
-        pairwise_iou3d(jnp.asarray(pred_boxes[:, :7]), jnp.asarray(gt_boxes[:, :7]))
-    )
-    max_iou = iou.max(axis=0) if iou.size else np.zeros(len(gt_boxes))
-    for t in thresh_list:
-        out[f"rcnn_{t}"] = int((max_iou > t).sum())
-    return out
 
 
 def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
@@ -46,7 +26,9 @@ def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
     thresh_list = cfg.MODEL.get("POST_PROCESSING", {}).get(
         "RECALL_THRESH_LIST", [0.3, 0.5, 0.7]
     )
-    eval_step = jax.jit(make_eval_step(model))
+    # recall counters run in-graph (fixed shapes, one compile); counting on
+    # host recompiled pairwise_iou3d per frame — see make_eval_step
+    eval_step = jax.jit(make_eval_step(model, recall_thresh=tuple(thresh_list)))
 
     det_annos = []
     metric = {"gt_num": 0, **{f"recall_rcnn_{t}": 0 for t in thresh_list}}
@@ -65,7 +47,12 @@ def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
                 n -= 1
             mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
         sharded = shard_batch(mesh, batch)
-        boxes, scores, labels, valid = jax.device_get(eval_step(state, sharded))
+        boxes, scores, labels, valid, recall = jax.device_get(
+            eval_step(state, sharded)
+        )
+        metric["gt_num"] += int(recall["gt_num"])
+        for t in thresh_list:
+            metric[f"recall_rcnn_{t}"] += int(recall[f"recall_rcnn_{t}"])
         pred_dicts = []
         for i in range(batch.batch_size):
             v = valid[i]
@@ -77,11 +64,6 @@ def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
                     "pred_labels": labels[i][v][order],
                 }
             )
-            gt = batch.gt_boxes[i][batch.gt_valid[i]]
-            rc = _recall_counts(pred_dicts[-1]["pred_boxes"], gt, thresh_list)
-            metric["gt_num"] += rc["gt"]
-            for t in thresh_list:
-                metric[f"recall_rcnn_{t}"] += rc[f"rcnn_{t}"]
         annos = dataset.generate_prediction_dicts(
             meta, pred_dicts, class_names, output_path=out_label_dir
         )

@@ -105,13 +105,45 @@ def make_multi_train_step(model, tx, steps_per_dispatch: int):
     return multi_step
 
 
-def make_eval_step(model):
-    """Returns eval_step(state, batch) → (boxes, scores, labels, valid)."""
+def make_eval_step(model, recall_thresh=None):
+    """Returns eval_step(state, batch) → (boxes, scores, labels, valid[, recall]).
+
+    With `recall_thresh` (a tuple of IoU thresholds), the step also returns
+    the reference's recall counters (detector3d_template
+    generate_recall_record:286-327) computed in-graph over the fixed-size
+    padded outputs. Counting on host called pairwise_iou3d with a different
+    (num_pred, num_gt) shape every frame — a fresh XLA compile per frame over
+    the tunnel (~20 s/frame measured round 3); in-graph it compiles once with
+    the epoch's single batch shape.
+    """
 
     def eval_step(state: TrainState, batch):
-        return model.apply(
+        out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, method=lambda m, b: m.predict(b),
         )
+        if recall_thresh is None:
+            return out
+        from ..core.geometry import pairwise_iou3d
+
+        boxes, scores, labels, valid = out
+
+        def one(pb, pv, gb, gv):
+            iou = pairwise_iou3d(pb[:, :7], gb[:, :7])
+            iou = jnp.where(pv[:, None] & gv[None, :], iou, 0.0)
+            max_iou = jnp.max(iou, axis=0, initial=0.0)
+            counts = jnp.stack(
+                [jnp.sum((max_iou > t) & gv) for t in recall_thresh]
+            )
+            return counts, jnp.sum(gv)
+
+        counts, gts = jax.vmap(one)(
+            boxes, valid, batch.gt_boxes, batch.gt_valid
+        )
+        per_t = jnp.sum(counts, axis=0)
+        recall = {"gt_num": jnp.sum(gts),
+                  **{f"recall_rcnn_{t}": per_t[i]
+                     for i, t in enumerate(recall_thresh)}}
+        return boxes, scores, labels, valid, recall
 
     return eval_step

@@ -148,7 +148,13 @@ class TestPackedTables:
         coords, valid = _random_sparse(rng, 3, 64, grid, 50)
         want = jax.vmap(lambda c, v: build_cell_map(grid, c, v))(coords, valid)
         got = build_cell_map_batched(grid, coords, valid)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(got.slots), np.asarray(want))
+        # pair companion: pair[i] = slots[i] | slots[i+1] << 16 over the
+        # flat layout (cross-element +1 reads the next leading zero pad)
+        flat = np.asarray(got.slots).reshape(-1).astype(np.uint32)
+        nxt = np.roll(flat, -1)
+        np.testing.assert_array_equal(
+            np.asarray(got.pair).reshape(-1), flat | (nxt << 16))
 
     def test_transpose_packed_matches_element(self):
         from dfu3d_tpu.core.voxel.sparse_ops import (
@@ -201,4 +207,93 @@ class TestPackedTables:
             lambda ic, iv, m: transpose_down_neighbors_packed(
                 down, ic, iv, m, q_cap, offsets)
         )(coords, valid, out_cmap)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestGatherGemmForms:
+    """The fused gather-GEMM (one B·Q·K-row gather + one (K, Cin)-contracting
+    dot_general) must match the K-loop accumulate form in forward and in both
+    shared-gather backward variants (SubM flip / strided transpose-table)."""
+
+    def test_fused_equals_loop(self):
+        import dfu3d_tpu.models.sparse_backbone as sb
+
+        rng = np.random.RandomState(0)
+        b, v, q, k, cin, cout = 2, 50, 40, 27, 16, 32
+        feats = jnp.asarray(rng.randn(b, v, cin).astype(np.float32))
+        valid = jnp.asarray(rng.rand(b, v) > 0.2)
+        nbr_f = jnp.asarray(rng.randint(0, v + 1, (b, q, k)).astype(np.int32))
+        nbr_s = jnp.asarray(rng.randint(0, v + 1, (b, v, k)).astype(np.int32))
+        tnbr = jnp.asarray(rng.randint(0, q + 1, (b, v, k)).astype(np.int32))
+        kern = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32))
+        g_sub = jnp.asarray(rng.randn(b, v, cout).astype(np.float32))
+        g_str = jnp.asarray(rng.randn(b, q, cout).astype(np.float32))
+
+        prev = sb.GATHER_GEMM_FORM
+        try:
+            outs = {}
+            for form in ("loop", "fused"):
+                sb.GATHER_GEMM_FORM = form
+                outs[form] = (
+                    np.asarray(sb._gather_gemm(feats, valid, nbr_f, kern)),
+                    *map(np.asarray, sb._shared_gather_bwd(
+                        feats, valid, nbr_s, kern, g_sub, True)),
+                    *map(np.asarray, sb._shared_gather_bwd(
+                        feats, valid, tnbr, kern, g_str, False)),
+                )
+        finally:
+            sb.GATHER_GEMM_FORM = prev
+        for a, bb in zip(outs["loop"], outs["fused"]):
+            # tolerance absorbs summation-order rounding between the forms
+            np.testing.assert_allclose(a, bb, rtol=2e-4, atol=5e-5)
+
+
+class TestPairPackedFetch:
+    """The u32 pair-map fetch (2 gathers) must agree with the element path
+    on both the SubM 3-window lookup and the strided transpose table."""
+
+    def test_pair_window_fetch_matches_element(self):
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_cell_map_batched, find_neighbors_via_map,
+            find_neighbors_via_map_packed, kernel_offsets)
+
+        rng = np.random.RandomState(5)
+        grid = SparseGrid(17, 13, 9)
+        b, v = 2, 200
+        coords, valid = _random_sparse(rng, b, v, grid, 160)
+        offsets = kernel_offsets(3, 3, 3)
+        cmap = build_cell_map_batched(grid, coords, valid)
+        assert cmap.pair is not None
+        want = jax.vmap(
+            lambda c, vd, m: find_neighbors_via_map(grid, c, vd, m, v, offsets)
+        )(coords, valid, cmap.slots)
+        got = jax.vmap(
+            lambda c, vd, m: find_neighbors_via_map_packed(grid, c, vd, m, v,
+                                                           offsets)
+        )(coords, valid, cmap)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_pair_transpose_matches_element(self):
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_cell_map_batched, downsample_coords, kernel_offsets,
+            transpose_down_neighbors, transpose_down_neighbors_packed)
+
+        rng = np.random.RandomState(6)
+        grid = SparseGrid(13, 11, 7)
+        down = grid.down()
+        b, v, q_cap = 2, 128, 96
+        coords, valid = _random_sparse(rng, b, v, grid, 100)
+        out_c, out_v, _ = jax.vmap(
+            lambda c, vd: downsample_coords(down, c, vd, q_cap)
+        )(coords, valid)
+        offsets = kernel_offsets(3, 3, 3)
+        cmap = build_cell_map_batched(down, out_c, out_v)
+        want = jax.vmap(
+            lambda ic, iv, m: transpose_down_neighbors(
+                down, ic, iv, m, q_cap, offsets)
+        )(coords, valid, cmap.slots)
+        got = jax.vmap(
+            lambda ic, iv, m: transpose_down_neighbors_packed(
+                down, ic, iv, m, q_cap, offsets)
+        )(coords, valid, cmap)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -84,6 +84,38 @@ class TestTrainStep:
         assert boxes.shape[-1] == 7
         assert np.all(np.isfinite(np.asarray(boxes)))
 
+    def test_eval_step_recall_matches_host_oracle(self):
+        """In-graph recall counters (fixed-shape, one compile) must equal the
+        host computation over the unpadded per-frame boxes they replaced
+        (eval_utils round-2 `_recall_counts`)."""
+        from dfu3d_tpu.core.geometry import pairwise_iou3d
+
+        thresh = (0.1, 0.3, 0.5, 0.7)
+        model = build_network(tiny_model_cfg(), CLASS_NAMES, tiny_grid())
+        tx, _ = build_optimizer(optim_cfg(), total_steps=10)
+        batch = make_batch(np.random.RandomState(7))
+        state = create_train_state(model, batch, tx)
+        boxes, scores, labels, valid, recall = jax.jit(
+            make_eval_step(model, recall_thresh=thresh)
+        )(state, batch)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+
+        want = {f"recall_rcnn_{t}": 0 for t in thresh}
+        want["gt_num"] = 0
+        for i in range(boxes.shape[0]):
+            gt = np.asarray(batch.gt_boxes[i][batch.gt_valid[i]])
+            want["gt_num"] += len(gt)
+            pred = boxes[i][valid[i]]
+            if len(gt) == 0 or len(pred) == 0:
+                continue
+            iou = np.asarray(pairwise_iou3d(
+                jnp.asarray(pred[:, :7]), jnp.asarray(gt[:, :7])))
+            max_iou = iou.max(axis=0)
+            for t in thresh:
+                want[f"recall_rcnn_{t}"] += int((max_iou > t).sum())
+        got = {k: int(v) for k, v in recall.items()}
+        assert got == want
+
 
 class TestMultiStep:
     def test_multi_step_equals_sequential(self):
