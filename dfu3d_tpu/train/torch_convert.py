@@ -218,6 +218,25 @@ def centerpoint_pillar_mapping(
     return m
 
 
+def anchor_head_mapping(ours_prefix=("dense_head",), ref_prefix="dense_head",
+                        use_dir=True, use_iou=False
+                        ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for AnchorHeadSingle (reference anchor_head_single.py:10-74:
+    1×1 conv_cls / conv_box / conv_dir_cls [+ conv_iou for SECONDNetIoU]).
+    Channel order is identical on both sides (per-location anchors are
+    class-major, size-major, rotation-minor — the reference's
+    `torch.cat(self.anchors, dim=-3).view(-1, 7)` vs our
+    pointpillar._setup_anchors concatenation), so the transform is the plain
+    OIHW→HWIO conv layout swap."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    names = ["conv_cls", "conv_box"] + (["conv_dir_cls"] if use_dir else []) \
+        + (["conv_iou"] if use_iou else [])
+    for name in names:
+        _conv(m, tuple(ours_prefix) + (name,), f"{ref_prefix}.{name}",
+              bias=True)
+    return m
+
+
 def _patchmerge_perm(c4: int) -> np.ndarray:
     """Input-dim permutation torch-PatchMerging → ours.
 

@@ -155,6 +155,132 @@ def _torch_points(batch):
     )
 
 
+class TestAnchorHeadParity:
+    """Logits + decoded-box parity for the SECOND/PointPillar head family:
+    the reference's own AnchorHeadSingle (anchor_head_single.py:10-74,
+    anchor_head_template.generate_predicted_boxes:225-268) vs ours, through
+    train/torch_convert.anchor_head_mapping. Covers the anchor grid, the
+    residual box coder and the direction-bin correction in one assertion:
+    any mismatch in anchor ordering, decode math, or conv layout breaks the
+    decoded boxes."""
+
+    PCR2 = [0.0, -12.8, -3.0, 12.8, 12.8, 1.0]
+    GRID2 = [32, 32, 1]
+    AGC = [
+        dict(class_name="Car", anchor_sizes=[[3.9, 1.6, 1.56]],
+             anchor_rotations=[0, 1.57], anchor_bottom_heights=[-1.78],
+             align_center=False, feature_map_stride=8,
+             matched_threshold=0.6, unmatched_threshold=0.45),
+        dict(class_name="Pedestrian", anchor_sizes=[[0.8, 0.6, 1.73]],
+             anchor_rotations=[0, 1.57], anchor_bottom_heights=[-0.6],
+             align_center=False, feature_map_stride=8,
+             matched_threshold=0.5, unmatched_threshold=0.35),
+        dict(class_name="Cyclist", anchor_sizes=[[1.76, 0.6, 1.73]],
+             anchor_rotations=[0, 1.57], anchor_bottom_heights=[-0.6],
+             align_center=False, feature_map_stride=8,
+             matched_threshold=0.5, unmatched_threshold=0.35),
+    ]
+
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        from pcdet.models.dense_heads.anchor_head_single import (
+            AnchorHeadSingle as RefAnchorHeadSingle,
+        )
+
+        model_cfg = EDict(dict(
+            ANCHOR_GENERATOR_CONFIG=[EDict(c) for c in self.AGC],
+            TARGET_ASSIGNER_CONFIG=EDict(dict(
+                NAME="AxisAlignedTargetAssigner", POS_FRACTION=-1.0,
+                SAMPLE_SIZE=512, NORM_BY_NUM_EXAMPLES=False,
+                MATCH_HEIGHT=False, BOX_CODER="ResidualCoder",
+            )),
+            LOSS_CONFIG=EDict(dict(LOSS_WEIGHTS={
+                "cls_weight": 1.0, "loc_weight": 2.0, "dir_weight": 0.2,
+                "code_weights": [1.0] * 7,
+            })),
+            USE_DIRECTION_CLASSIFIER=True, DIR_OFFSET=0.78539,
+            DIR_LIMIT_OFFSET=0.0, NUM_DIR_BINS=2,
+        ))
+        torch.manual_seed(1)
+        container = torch.nn.Module()
+        with no_cuda():
+            container.dense_head = RefAnchorHeadSingle(
+                model_cfg, input_channels=32, num_class=3,
+                class_names=["Car", "Pedestrian", "Cyclist"],
+                grid_size=np.array(self.GRID2),
+                point_cloud_range=np.array(self.PCR2),
+                predict_boxes_when_training=False,
+            )
+        with torch.no_grad():
+            for p in container.parameters():
+                p.normal_(0.0, 0.1)
+        container.eval()
+
+        feats = torch.randn(2, 32, 4, 4)  # (B, C, H=ny/8, W=nx/8)
+        with torch.no_grad():
+            bd = container.dense_head(
+                {"spatial_features_2d": feats, "batch_size": 2}
+            )
+        return container, feats, bd
+
+    def _ours(self, container, feats):
+        from dfu3d_tpu.models.anchor_head import (
+            AnchorHeadSingle, generate_anchors,
+        )
+
+        head = AnchorHeadSingle(num_class=3, num_anchors_per_location=6)
+        x = jnp.asarray(feats.numpy().transpose(0, 2, 3, 1))
+        variables = head.init({"params": jax.random.PRNGKey(0)}, x)
+        state = {k: v.numpy() for k, v in container.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.anchor_head_mapping(ours_prefix=())
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        assert not report["unmatched_ours"], report["unmatched_ours"]
+        preds = head.apply(new_vars, x)
+        anchors, _ = generate_anchors(self.AGC, self.GRID2, self.PCR2)
+        anchors_flat = np.concatenate(
+            [a.reshape(a.shape[0], a.shape[1], a.shape[2], -1, 7)
+             for a in anchors], axis=3,
+        ).reshape(-1, 7)
+        return preds, anchors_flat
+
+    def test_anchor_grid_equality(self, setup):
+        """Our flattened anchor grid == the reference's
+        cat(self.anchors, dim=-3).view(-1, 7)."""
+        container, feats, _ = setup
+        _, anchors_flat = self._ours(container, feats)
+        ref_flat = (
+            torch.cat(container.dense_head.anchors, dim=-3)
+            .reshape(-1, 7).numpy()
+        )
+        np.testing.assert_allclose(anchors_flat, ref_flat, atol=1e-5)
+
+    def test_logits_and_decoded_boxes_equality(self, setup):
+        from dfu3d_tpu.models.anchor_head import decode_anchor_predictions
+
+        container, feats, bd = setup
+        preds, anchors_flat = self._ours(container, feats)
+        rd = container.dense_head.forward_ret_dict
+        for name in ("cls_preds", "box_preds", "dir_cls_preds"):
+            np.testing.assert_allclose(
+                np.asarray(preds[name]), rd[name].numpy(),
+                rtol=1e-4, atol=1e-5, err_msg=name,
+            )
+        boxes, scores = decode_anchor_predictions(
+            preds, jnp.asarray(anchors_flat), num_class=3
+        )
+        np.testing.assert_allclose(
+            np.asarray(boxes), bd["batch_box_preds"].numpy(),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores),
+            torch.sigmoid(bd["batch_cls_preds"]).numpy(),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
 class TestReferenceLogitsParity:
     @pytest.fixture(scope="class")
     def setup(self, ref_modules):
