@@ -18,10 +18,18 @@ from .vfe import MaskedBatchNorm
 
 
 class SharedMLP(nn.Module):
-    """1×1 conv stack over the last axis with masked BN + ReLU."""
+    """1×1 conv stack over the last axis with masked BN + ReLU.
+
+    BN defaults are torch's (eps=1e-5, momentum=0.1 ⇒ ema keep 0.9): every
+    reference stack this mirrors — pointnet2 SA/FP MLPs and
+    point_head_template.make_fc_layers:36-47 — constructs BatchNorm with
+    torch defaults, unlike the VFE's explicit eps=1e-3 (pinned by
+    TestPointHeadBoxParity against the reference's own modules)."""
 
     channels: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    bn_epsilon: float = 1e-5
+    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
@@ -31,9 +39,10 @@ class SharedMLP(nn.Module):
                          param_dtype=jnp.float32, name=f"dense_{i}")(x)
             flat = x.reshape(-1, c)
             flat_mask = jnp.broadcast_to(mask, x[..., :1].shape).reshape(-1)
-            flat = MaskedBatchNorm(dtype=self.dtype, name=f"bn_{i}")(
-                flat, flat_mask, train
-            )
+            flat = MaskedBatchNorm(
+                momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                dtype=self.dtype, name=f"bn_{i}",
+            )(flat, flat_mask, train)
             x = nn.relu(flat.reshape(x.shape[:-1] + (c,)))
         return x
 

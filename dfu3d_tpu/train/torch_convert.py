@@ -237,6 +237,28 @@ def anchor_head_mapping(ours_prefix=("dense_head",), ref_prefix="dense_head",
     return m
 
 
+def point_head_box_mapping(cls_fc=(256, 256), reg_fc=(256, 256),
+                           ours_prefix=(), ref_prefix="point_head"
+                           ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for PointHeadBox (reference point_head_box.py:13-30 /
+    point_head_template.make_fc_layers:36-47): each FC stack is
+    [Linear(no bias), BatchNorm1d, ReLU] × len(fc) + Linear(bias) — ours is
+    SharedMLP(dense_{i} + bn_{i}) + a {cls,reg}_out Dense."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    pfx = tuple(ours_prefix)
+    for which, fc in (("cls", tuple(cls_fc)), ("reg", tuple(reg_fc))):
+        ref_stack = f"{ref_prefix}.{'cls' if which == 'cls' else 'box'}_layers"
+        for i in range(len(fc)):
+            m[("params",) + pfx + (f"{which}_fc", f"dense_{i}", "kernel")] = (
+                f"{ref_stack}.{3 * i}.weight", t_linear)
+            _bn(m, pfx + (f"{which}_fc", f"bn_{i}"), f"{ref_stack}.{3 * i + 1}")
+        m[("params",) + pfx + (f"{which}_out", "kernel")] = (
+            f"{ref_stack}.{3 * len(fc)}.weight", t_linear)
+        m[("params",) + pfx + (f"{which}_out", "bias")] = (
+            f"{ref_stack}.{3 * len(fc)}.bias", t_identity)
+    return m
+
+
 def _patchmerge_perm(c4: int) -> np.ndarray:
     """Input-dim permutation torch-PatchMerging → ours.
 

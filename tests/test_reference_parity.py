@@ -281,6 +281,101 @@ class TestAnchorHeadParity:
         )
 
 
+class TestPointHeadBoxParity:
+    """Logits + decoded-box parity for the PointRCNN stage-1 head: the
+    reference's own PointHeadBox (point_head_box.py:13-115) and
+    PointResidualCoder (box_coder_utils.py:144-222) vs ours, through
+    train/torch_convert.point_head_box_mapping."""
+
+    MEAN_SIZE = [[3.9, 1.6, 1.56], [0.8, 0.6, 1.73], [1.76, 0.6, 1.73]]
+
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        from pcdet.models.dense_heads.point_head_box import (
+            PointHeadBox as RefPointHeadBox,
+        )
+
+        model_cfg = EDict(dict(
+            CLS_FC=[64, 64], REG_FC=[64, 64],
+            CLASS_AGNOSTIC=False, USE_POINT_FEATURES_BEFORE_FUSION=False,
+            TARGET_CONFIG=EDict(dict(
+                GT_EXTRA_WIDTH=[0.2, 0.2, 0.2],
+                BOX_CODER="PointResidualCoder",
+                BOX_CODER_CONFIG=EDict(dict(
+                    use_mean_size=True, mean_size=self.MEAN_SIZE,
+                )),
+            )),
+            LOSS_CONFIG=EDict(dict(
+                LOSS_REG="WeightedSmoothL1Loss",
+                LOSS_WEIGHTS={"point_cls_weight": 1.0,
+                              "point_box_weight": 1.0,
+                              "code_weights": [1.0] * 8},
+            )),
+        ))
+        torch.manual_seed(2)
+        container = torch.nn.Module()
+        with no_cuda():
+            container.point_head = RefPointHeadBox(
+                num_class=3, input_channels=32, model_cfg=model_cfg,
+                predict_boxes_when_training=False,
+            )
+        with torch.no_grad():
+            for p in container.parameters():
+                p.normal_(0.0, 0.1)
+        _randomize_bn(container)
+        container.eval()
+
+        n = 128
+        coords = torch.cat(
+            [torch.zeros(n, 1), torch.rand(n, 3) * 20.0 - 10.0], dim=1
+        )
+        feats = torch.randn(n, 32)
+        with torch.no_grad():
+            bd = container.point_head({
+                "point_features": feats, "point_coords": coords,
+                "batch_size": 1,
+            })
+        return container, feats, coords, bd
+
+    def test_logits_and_decoded_boxes_equality(self, setup):
+        from dfu3d_tpu.models.pointrcnn import PointHeadBox, point_decode
+
+        container, feats, coords, bd = setup
+        head = PointHeadBox(num_class=3, cls_fc=(64, 64), reg_fc=(64, 64))
+        x = jnp.asarray(feats.numpy())[None]             # (1, N, C)
+        valid = jnp.ones(x.shape[:2], bool)
+        variables = head.init(
+            {"params": jax.random.PRNGKey(0)}, x, valid, False
+        )
+        state = {k: v.numpy() for k, v in container.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.point_head_box_mapping(
+                cls_fc=(64, 64), reg_fc=(64, 64), ours_prefix=())
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        assert not report["unmatched_ours"], report["unmatched_ours"]
+        cls_logits, box_codes = head.apply(new_vars, x, valid, False)
+
+        rd = container.point_head.forward_ret_dict
+        np.testing.assert_allclose(
+            np.asarray(cls_logits[0]), rd["point_cls_preds"].numpy(),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(box_codes[0]), rd["point_box_preds"].numpy(),
+            rtol=1e-4, atol=1e-5,
+        )
+        pred_classes = jnp.argmax(cls_logits[0], axis=-1) + 1
+        boxes = point_decode(
+            box_codes[0], jnp.asarray(coords.numpy()[:, 1:4]),
+            pred_classes, self.MEAN_SIZE,
+        )
+        np.testing.assert_allclose(
+            np.asarray(boxes), bd["batch_box_preds"].numpy(),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
 class TestReferenceLogitsParity:
     @pytest.fixture(scope="class")
     def setup(self, ref_modules):
