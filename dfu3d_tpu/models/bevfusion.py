@@ -61,16 +61,21 @@ class TransFusion(nn.Module):
             dtype=self.dtype,
         )
         dh = cfg.DENSE_HEAD
+        tac = dh.get("TARGET_ASSIGNER_CONFIG", {})
         self.dense_head = TransFusionHead(
             num_class=len(self.class_names),
             num_proposals=int(dh.get("NUM_PROPOSALS", 200)),
             hidden=int(dh.get("HIDDEN_CHANNEL", 128)),
             num_heads=int(dh.get("NUM_HEADS", 8)),
+            ffn_channel=int(dh.get("FFN_CHANNEL", 256)),
+            num_hm_conv=int(dh.get("NUM_HM_CONV", 2)),
+            nms_kernel_size=int(dh.get("NMS_KERNEL_SIZE", 3)),
+            dataset_name=str(tac.get("DATASET", "nuScenes")),
+            use_bias_before_norm=bool(dh.get("USE_BIAS_BEFORE_NORM", False)),
+            bn_momentum=1.0 - float(dh.get("BN_MOMENTUM", 0.1)),
             point_cloud_range=tuple(self.grid.point_cloud_range),
             voxel_size=tuple(self.grid.voxel_size),
-            feature_map_stride=int(
-                dh.get("TARGET_ASSIGNER_CONFIG", {}).get("FEATURE_MAP_STRIDE", 8)
-            ),
+            feature_map_stride=int(tac.get("FEATURE_MAP_STRIDE", 8)),
             dtype=self.dtype,
         )
 

@@ -39,22 +39,15 @@ def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
 
     start = time.time()
     num_frames = 0
-    for batch, meta in tqdm.tqdm(dataloader, desc="eval", dynamic_ncols=True):
-        if mesh is None:
-            # data axis must divide the batch; fall back to fewer devices
-            n = jax.local_device_count()
-            while batch.batch_size % n:
-                n -= 1
-            mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
-        sharded = shard_batch(mesh, batch)
-        boxes, scores, labels, valid, recall = jax.device_get(
-            eval_step(state, sharded)
-        )
+
+    def drain(meta, batch_size, outputs):
+        nonlocal num_frames
+        boxes, scores, labels, valid, recall = jax.device_get(outputs)
         metric["gt_num"] += int(recall["gt_num"])
         for t in thresh_list:
             metric[f"recall_rcnn_{t}"] += int(recall[f"recall_rcnn_{t}"])
         pred_dicts = []
-        for i in range(batch.batch_size):
+        for i in range(batch_size):
             v = valid[i]
             order = np.argsort(-scores[i][v])
             pred_dicts.append(
@@ -68,7 +61,27 @@ def eval_one_epoch(model, state, dataset, dataloader, cfg, logger,
             meta, pred_dicts, class_names, output_path=out_label_dir
         )
         det_annos.extend(annos)
-        num_frames += batch.batch_size
+        num_frames += batch_size
+
+    # bounded prefetch: dispatch up to PREFETCH batches ahead and drain in
+    # order, overlapping device compute / tunnel transfer of batch k+1 with
+    # host-side anno generation of batch k (jax async dispatch makes
+    # eval_step return device futures immediately; only device_get blocks)
+    PREFETCH = 2
+    pending = []
+    for batch, meta in tqdm.tqdm(dataloader, desc="eval", dynamic_ncols=True):
+        if mesh is None:
+            # data axis must divide the batch; fall back to fewer devices
+            n = jax.local_device_count()
+            while batch.batch_size % n:
+                n -= 1
+            mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+        sharded = shard_batch(mesh, batch)
+        pending.append((meta, batch.batch_size, eval_step(state, sharded)))
+        if len(pending) > PREFETCH:
+            drain(*pending.pop(0))
+    for item in pending:
+        drain(*item)
 
     # cross-host merge (reference merge_results_dist, common_utils.py:223-257):
     # each host evaluated its loader shard; gather every host's annos +

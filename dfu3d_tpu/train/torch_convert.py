@@ -259,6 +259,107 @@ def point_head_box_mapping(cls_fc=(256, 256), reg_fc=(256, 256),
     return m
 
 
+def t_conv1d(w):
+    """Conv1d kernel-1 weight (O, I, 1) → Dense kernel (I, O)."""
+    return np.ascontiguousarray(w[:, :, 0].transpose(1, 0))
+
+
+def _t_attn_in(part, num_heads):
+    """torch nn.MultiheadAttention packed in_proj_weight (3C, C) → flax
+    MultiHeadDotProductAttention kernel (C, heads, head_dim) for
+    part 0/1/2 = query/key/value."""
+    def f(w):
+        c = w.shape[1]
+        wp = w[part * c:(part + 1) * c]  # (C_out=C, C_in=C); torch: x @ wp.T
+        return np.ascontiguousarray(
+            wp.transpose(1, 0).reshape(c, num_heads, c // num_heads))
+    return f
+
+
+def _t_attn_in_bias(part, num_heads):
+    def f(b):
+        c = b.shape[0] // 3
+        return np.ascontiguousarray(
+            b[part * c:(part + 1) * c].reshape(num_heads, c // num_heads))
+    return f
+
+
+def _t_attn_out(num_heads):
+    def f(w):
+        c = w.shape[0]
+        return np.ascontiguousarray(
+            w.transpose(1, 0).reshape(num_heads, c // num_heads, c))
+    return f
+
+
+def _mha(m, ours, ref, num_heads):
+    """torch nn.MultiheadAttention → flax MultiHeadDotProductAttention."""
+    for part, name in enumerate(("query", "key", "value")):
+        m[("params",) + ours + (name, "kernel")] = (
+            f"{ref}.in_proj_weight", _t_attn_in(part, num_heads))
+        m[("params",) + ours + (name, "bias")] = (
+            f"{ref}.in_proj_bias", _t_attn_in_bias(part, num_heads))
+    m[("params",) + ours + ("out", "kernel")] = (
+        f"{ref}.out_proj.weight", _t_attn_out(num_heads))
+    m[("params",) + ours + ("out", "bias")] = (
+        f"{ref}.out_proj.bias", t_identity)
+
+
+def transfusion_head_mapping(num_heads=8, num_conv=2, num_hm_conv=2,
+                             ours_prefix=("dense_head",),
+                             ref_prefix="dense_head"
+                             ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for TransFusionHead (reference transfusion_head.py:53-123
+    + transfusion_utils.py:10-101): shared_conv, heatmap_head
+    (BasicBlock2D + conv), class_encoding, one TransformerDecoderLayer
+    (torch nn.MultiheadAttention packed-qkv → flax per-projection kernels,
+    learned position embeddings), and the SeparateHead_Transfusion stacks
+    of kernel-1 Conv1d ≡ Dense."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    p = tuple(ours_prefix)
+    r = ref_prefix
+    _conv(m, p + ("shared_conv",), f"{r}.shared_conv", bias=True)
+    _conv(m, p + ("hm_conv",), f"{r}.heatmap_head.0.conv", bias=True)
+    _bn(m, p + ("hm_bn",), f"{r}.heatmap_head.0.bn")
+    _conv(m, p + ("hm_out",), f"{r}.heatmap_head.1", bias=True)
+    m[("params",) + p + ("class_encoding", "kernel")] = (
+        f"{r}.class_encoding.weight", t_conv1d)
+    m[("params",) + p + ("class_encoding", "bias")] = (
+        f"{r}.class_encoding.bias", t_identity)
+    for pe in ("self_posembed", "cross_posembed"):
+        base = f"{r}.decoder.{pe}.position_embedding_head"
+        m[("params",) + p + (pe, "dense_0", "kernel")] = (
+            f"{base}.0.weight", t_conv1d)
+        m[("params",) + p + (pe, "dense_0", "bias")] = (
+            f"{base}.0.bias", t_identity)
+        _bn(m, p + (pe, "bn"), f"{base}.1")
+        m[("params",) + p + (pe, "dense_1", "kernel")] = (
+            f"{base}.3.weight", t_conv1d)
+        m[("params",) + p + (pe, "dense_1", "bias")] = (
+            f"{base}.3.bias", t_identity)
+    _mha(m, p + ("self_attn",), f"{r}.decoder.self_attn", num_heads)
+    _mha(m, p + ("cross_attn",), f"{r}.decoder.multihead_attn", num_heads)
+    for i in (1, 2, 3):
+        _ln(m, p + (f"norm{i}",), f"{r}.decoder.norm{i}")
+    _dense(m, p + ("linear1",), f"{r}.decoder.linear1")
+    _dense(m, p + ("linear2",), f"{r}.decoder.linear2")
+    for name, nc in (("center", num_conv), ("height", num_conv),
+                     ("dim", num_conv), ("rot", num_conv),
+                     ("heatmap", num_hm_conv)):
+        base = f"{r}.prediction_head.{name}"
+        for i in range(nc - 1):
+            m[("params",) + p + (f"{name}_conv{i}", "kernel")] = (
+                f"{base}.{i}.0.weight", t_conv1d)
+            m[("params",) + p + (f"{name}_conv{i}", "bias")] = (
+                f"{base}.{i}.0.bias", t_identity)
+            _bn(m, p + (f"{name}_bn{i}",), f"{base}.{i}.1")
+        m[("params",) + p + (f"{name}_out", "kernel")] = (
+            f"{base}.{nc - 1}.weight", t_conv1d)
+        m[("params",) + p + (f"{name}_out", "bias")] = (
+            f"{base}.{nc - 1}.bias", t_identity)
+    return m
+
+
 def _patchmerge_perm(c4: int) -> np.ndarray:
     """Input-dim permutation torch-PatchMerging → ours.
 

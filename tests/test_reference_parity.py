@@ -376,6 +376,201 @@ class TestPointHeadBoxParity:
         )
 
 
+class TestTransFusionHeadParity:
+    """Logits + decoded-box parity for the query-based TransFusion head: the
+    reference's own TransFusionHead (transfusion_head.py:53-218, predict) and
+    TransformerDecoderLayer/PositionEmbeddingLearned (transfusion_utils.py)
+    vs ours, through train/torch_convert.transfusion_head_mapping. Covers
+    the heatmap local-max NMS (incl. the nuScenes small-class kernel-1
+    override), the (class, cell) top-Q query init, the packed-qkv
+    nn.MultiheadAttention → flax per-projection conversion, the learned
+    position embeddings (added to q/k/v including the cross-attn VALUE), the
+    SeparateHead_Transfusion stacks and the sigmoid×query_heatmap×one_hot
+    decode. Square 32×32 BEV so the reference's x-major bev_pos + flip
+    equals our direct (x+0.5, y+0.5) layout (see module docstring)."""
+
+    NUM_CLASS = 10
+    HIDDEN = 64
+    HEADS = 4
+    Q = 200
+    PCR3 = [-6.4, -6.4, -5.0, 6.4, 6.4, 3.0]
+    VOXEL3 = [0.4, 0.4, 8.0]
+    GRID3 = [32, 32, 1]
+
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        from pcdet.models.dense_heads.transfusion_head import (
+            TransFusionHead as RefTransFusionHead,
+        )
+
+        model_cfg = EDict(dict(
+            USE_BIAS_BEFORE_NORM=False,
+            NUM_PROPOSALS=self.Q, HIDDEN_CHANNEL=self.HIDDEN,
+            NUM_HEADS=self.HEADS, NMS_KERNEL_SIZE=3, FFN_CHANNEL=128,
+            DROPOUT=0.0, BN_MOMENTUM=0.1, ACTIVATION="relu",
+            NUM_HM_CONV=2,
+            SEPARATE_HEAD_CFG=EDict(dict(
+                HEAD_ORDER=["center", "height", "dim", "rot"],
+                HEAD_DICT={
+                    "center": {"out_channels": 2, "num_conv": 2},
+                    "height": {"out_channels": 1, "num_conv": 2},
+                    "dim": {"out_channels": 3, "num_conv": 2},
+                    "rot": {"out_channels": 2, "num_conv": 2},
+                },
+            )),
+            TARGET_ASSIGNER_CONFIG=EDict(dict(
+                FEATURE_MAP_STRIDE=1, DATASET="nuScenes",
+                GAUSSIAN_OVERLAP=0.1, MIN_RADIUS=2,
+                HUNGARIAN_ASSIGNER=dict(
+                    cls_cost={"gamma": 2.0, "alpha": 0.25, "weight": 0.15},
+                    reg_cost={"weight": 0.25},
+                    iou_cost={"weight": 0.25},
+                ),
+            )),
+            LOSS_CONFIG=EDict(dict(
+                LOSS_WEIGHTS={"cls_weight": 1.0, "bbox_weight": 0.25,
+                              "hm_weight": 1.0, "code_weights": [1.0] * 8},
+                LOSS_CLS=EDict(dict(use_sigmoid=True, gamma=2.0, alpha=0.25)),
+            )),
+            POST_PROCESSING=EDict(dict(
+                SCORE_THRESH=0.0,
+                POST_CENTER_RANGE=[-61.2, -61.2, -10.0, 61.2, 61.2, 10.0],
+            )),
+        ))
+        torch.manual_seed(3)
+        container = torch.nn.Module()
+        with no_cuda():
+            container.dense_head = RefTransFusionHead(
+                model_cfg, input_channels=96, num_class=self.NUM_CLASS,
+                class_names=CLASS_NAMES,
+                grid_size=np.array(self.GRID3),
+                point_cloud_range=np.array(self.PCR3),
+                voxel_size=self.VOXEL3,
+                predict_boxes_when_training=False,
+            )
+        with torch.no_grad():
+            for p in container.parameters():
+                p.normal_(0.0, 0.05)
+        _randomize_bn(container)
+        container.eval()
+
+        feats = torch.randn(2, 96, 32, 32)
+        with torch.no_grad(), no_cuda():
+            res = container.dense_head.predict(feats)
+            # get_bboxes up to (but excluding) the post-center-range filter
+            score = torch.sigmoid(res["heatmap"])
+            one_hot = torch.nn.functional.one_hot(
+                container.dense_head.query_labels,
+                num_classes=self.NUM_CLASS,
+            ).permute(0, 2, 1)
+            score = score * res["query_heatmap_score"] * one_hot
+            ref_dec = container.dense_head.decode_bbox(
+                score, res["rot"].clone(), res["dim"].clone(),
+                res["center"].clone(), res["height"].clone(), None,
+            )
+            # reconstruct the cells predict() selected (it only stores the
+            # class labels) by replaying its query init on dense_heatmap
+            hm = torch.sigmoid(res["dense_heatmap"].detach())
+            local_max = torch.zeros_like(hm)
+            local_max[:, :, 1:-1, 1:-1] = torch.nn.functional.max_pool2d(
+                hm, 3, stride=1, padding=0)
+            local_max[:, 8] = hm[:, 8]
+            local_max[:, 9] = hm[:, 9]
+            hm = hm * (hm == local_max)
+            top = hm.view(2, -1).argsort(dim=-1, descending=True)[:, :self.Q]
+            ref_cells = (top % (hm.shape[2] * hm.shape[3])).numpy()
+        return container, feats, res, ref_dec, ref_cells
+
+    def _ours(self, container, feats):
+        from dfu3d_tpu.models.transfusion_head import TransFusionHead
+
+        head = TransFusionHead(
+            num_class=self.NUM_CLASS, num_proposals=self.Q,
+            hidden=self.HIDDEN, num_heads=self.HEADS, ffn_channel=128,
+            point_cloud_range=self.PCR3, voxel_size=self.VOXEL3,
+            feature_map_stride=1,
+        )
+        x = jnp.asarray(feats.numpy().transpose(0, 2, 3, 1))
+        variables = head.init({"params": jax.random.PRNGKey(0)}, x, False)
+        state = {k: v.numpy() for k, v in container.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.transfusion_head_mapping(
+                num_heads=self.HEADS, ours_prefix=())
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        assert not report["unmatched_ours"], report["unmatched_ours"]
+        preds = head.apply(new_vars, x, False)
+        return head, preds
+
+    def _perm(self, container, preds, ref_cells):
+        """Ours-order → ref-order query permutation per batch row.
+
+        Both sides pick the same top-Q (class, cell) set; near-tied heatmap
+        values (fp32 diffs ~1e-7) can swap adjacent RANKS between torch
+        argsort and jax top_k. Attention is permutation-equivariant over the
+        query set, so aligning by query identity is an exact comparison."""
+        hw = self.GRID3[0] * self.GRID3[1]
+        # reconstruct ours cell from q_pos = (x+0.5, y+0.5); cell = y·W + x
+        pos = np.asarray(preds["q_pos"])
+        cell = (pos[..., 1] - 0.5).astype(np.int64) * self.GRID3[0] + (
+            pos[..., 0] - 0.5).astype(np.int64)
+        ours_key = np.asarray(preds["q_cls"]).astype(np.int64) * hw + cell
+        ref_key = (
+            container.dense_head.query_labels.numpy().astype(np.int64) * hw
+            + ref_cells
+        )
+        perms = []
+        for b in range(ours_key.shape[0]):
+            np.testing.assert_array_equal(
+                np.sort(ours_key[b]), np.sort(ref_key[b]),
+                err_msg="top-Q query sets differ",
+            )
+            o = {k: i for i, k in enumerate(ours_key[b])}
+            perms.append(np.array([o[k] for k in ref_key[b]]))
+        return np.stack(perms)  # ours[perm] == ref order
+
+    @staticmethod
+    def _take(arr, perm):
+        return np.stack([np.asarray(arr)[b][perm[b]]
+                         for b in range(perm.shape[0])])
+
+    def test_logits_equality(self, setup):
+        container, feats, res, _, ref_cells = setup
+        _, preds = self._ours(container, feats)
+        np.testing.assert_allclose(
+            np.asarray(preds["dense_heatmap"]),
+            res["dense_heatmap"].numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-5,
+        )
+        perm = self._perm(container, preds, ref_cells)
+        np.testing.assert_array_equal(
+            self._take(preds["q_cls"], perm),
+            container.dense_head.query_labels.numpy(),
+        )
+        for name in ("center", "height", "dim", "rot", "heatmap",
+                     "query_heatmap_score"):
+            np.testing.assert_allclose(
+                self._take(preds[name], perm),
+                res[name].numpy().transpose(0, 2, 1),
+                rtol=1e-4, atol=2e-5, err_msg=name,
+            )
+
+    def test_decoded_boxes_equality(self, setup):
+        container, feats, _, ref_dec, ref_cells = setup
+        head, preds = self._ours(container, feats)
+        perm = self._perm(container, preds, ref_cells)
+        boxes, scores, labels = head.decode(preds)
+        ref_boxes = np.stack([d["pred_boxes"].numpy() for d in ref_dec])
+        ref_scores = np.stack([d["pred_scores"].numpy() for d in ref_dec])
+        ref_labels = np.stack([d["pred_labels"].numpy() for d in ref_dec])
+        np.testing.assert_allclose(
+            self._take(boxes, perm), ref_boxes, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            self._take(scores, perm), ref_scores, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            self._take(labels, perm), ref_labels + 1)
+
+
 class TestReferenceLogitsParity:
     @pytest.fixture(scope="class")
     def setup(self, ref_modules):
