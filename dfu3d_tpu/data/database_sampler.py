@@ -280,9 +280,16 @@ class DataBaseSampler:
                     obj_points = obj_points[:, : points.shape[1]]
             points = np.concatenate([obj_points, points], axis=0)
 
-        data_dict["gt_boxes"] = np.concatenate(
-            [gt_boxes, sampled_gt_boxes[:, : gt_boxes.shape[1]]], axis=0
-        )
+        sampled = sampled_gt_boxes[:, : gt_boxes.shape[1]]
+        if sampled.shape[1] < gt_boxes.shape[1]:
+            # 7-dim database clips into a velocity-width scene: vel = 0
+            # (static objects; reference nuscenes dbinfos carry velocity)
+            sampled = np.concatenate(
+                [sampled, np.zeros((len(sampled), gt_boxes.shape[1]
+                                    - sampled.shape[1]), sampled.dtype)],
+                axis=1,
+            )
+        data_dict["gt_boxes"] = np.concatenate([gt_boxes, sampled], axis=0)
         data_dict["gt_names"] = np.concatenate([gt_names, sampled_gt_names], axis=0)
         data_dict["points"] = points
         if img_aug:

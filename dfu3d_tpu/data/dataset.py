@@ -24,7 +24,8 @@ class PointBatch(NamedTuple):
 
     points: np.ndarray        # (B, N_max, C) fp32
     points_valid: np.ndarray  # (B, N_max) bool
-    gt_boxes: np.ndarray      # (B, M_max, 7 + 1) fp32; last col = 1-based class id
+    gt_boxes: np.ndarray      # (B, M_max, 7|9 + 1) fp32; [x y z dx dy dz rot
+                              # (vx vy)] + 1-based class id in the LAST column
     gt_valid: np.ndarray      # (B, M_max) bool
 
     @property
@@ -105,6 +106,10 @@ class DatasetTemplate:
             dataset_cfg.get("MAX_POINTS_PER_FRAME", 65536)
         )
         self.max_gt_per_frame = int(dataset_cfg.get("MAX_GT_PER_FRAME", 256))
+        # geometric box width: 7, or 9 when gt carries (vx, vy) — nuScenes
+        # native sets this from its infos (reference keeps velocity columns
+        # through prepare_data, dataset.py:158-218)
+        self.gt_box_width = 9 if dataset_cfg.get("USE_VELOCITY", False) else 7
 
         self.mode = "train" if training else "test"
         self._merge_all_iters_to_one_epoch = False
@@ -160,12 +165,16 @@ class DatasetTemplate:
                 [self.class_names.index(n) + 1 for n in data_dict["gt_names"]],
                 dtype=np.int32,
             )
+            geom = data_dict["gt_boxes"][:, : self.gt_box_width].astype(
+                np.float32
+            )
+            if geom.shape[1] < self.gt_box_width:  # 7-dim source, vel wanted
+                geom = np.concatenate(
+                    [geom, np.zeros((len(geom), self.gt_box_width
+                                     - geom.shape[1]), np.float32)], axis=1,
+                )
             data_dict["gt_boxes"] = np.concatenate(
-                [
-                    data_dict["gt_boxes"][:, :7].astype(np.float32),
-                    gt_classes.reshape(-1, 1).astype(np.float32),
-                ],
-                axis=1,
+                [geom, gt_classes.reshape(-1, 1).astype(np.float32)], axis=1
             )
 
         if data_dict.get("points", None) is not None:
@@ -191,7 +200,8 @@ class DatasetTemplate:
 
         points = np.zeros((bs, n_max, c), dtype=np.float32)
         points_valid = np.zeros((bs, n_max), dtype=bool)
-        gt_boxes = np.zeros((bs, m_max, 8), dtype=np.float32)
+        gt_boxes = np.zeros((bs, m_max, self.gt_box_width + 1),
+                            dtype=np.float32)
         gt_valid = np.zeros((bs, m_max), dtype=bool)
         frame_ids, calibs, image_shapes = [], [], []
 
@@ -205,7 +215,10 @@ class DatasetTemplate:
             gb = d.get("gt_boxes", None)
             if gb is not None and len(gb):
                 gb = gb[:m_max]
-                gt_boxes[i, : len(gb), : gb.shape[1]] = gb
+                # geometry left-aligned, class id pinned to the LAST column
+                # (a 7-dim frame in a velocity-width batch keeps vel = 0)
+                gt_boxes[i, : len(gb), : gb.shape[1] - 1] = gb[:, :-1]
+                gt_boxes[i, : len(gb), -1] = gb[:, -1]
                 gt_valid[i, : len(gb)] = True
             frame_ids.append(d.get("frame_id"))
             calibs.append(d.get("calib"))

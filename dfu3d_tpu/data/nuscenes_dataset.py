@@ -99,7 +99,11 @@ def create_nuscenes_infos(dataroot, version="v1.0-trainval", max_sweeps=1,
             # heading: box x-axis yaw in the lidar frame
             v = box.rotation_matrix @ np.array([1.0, 0, 0])
             yaw = np.arctan2(v[1], v[0])
-            boxes.append([*box.center, l, w, h, yaw])
+            # 9-dim gt with the lidar-frame velocity appended (reference
+            # nuscenes_utils.fill_trainval_infos:447-451: locs|dims|rot|vel);
+            # isolated/stale tracks carry nan, zeroed at load time under
+            # SET_NAN_VELOCITY_TO_ZEROS
+            boxes.append([*box.center, l, w, h, yaw, *box.velocity[:2]])
             # KITTI-style capitalized names (reference kitti_utils
             # map_name_to_kitti) so the KITTI-protocol evaluator applies
             names.append(DEFAULT_MAP.get(det, det.capitalize()))
@@ -117,7 +121,7 @@ def create_nuscenes_infos(dataroot, version="v1.0-trainval", max_sweeps=1,
                 "lidar_path": sd_lid["filename"],
                 "lidar2global": lidar2global,
                 "sweeps": _sweep_entries(nusc, sd_lid, max_sweeps),
-                "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 7),
+                "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 9),
                 "gt_names": np.asarray(names),
                 "num_lidar_pts": np.asarray(
                     [a.get("num_lidar_pts", -1) for a in anns], np.int32
@@ -151,6 +155,12 @@ class NuScenesDataset(DatasetTemplate):
                     self.infos.extend(pickle.load(f))
         if self.training and dataset_cfg.get("BALANCED_RESAMPLING", False):
             self.infos = self._balanced_resample(self.infos)
+        # velocity-width batches whenever the infos carry (vx, vy) columns
+        # (9-dim infos, reference fill_trainval_infos:451); old 7-dim info
+        # pkls keep the compact contract
+        if any(len(i.get("gt_boxes", np.zeros((0, 7)))) and
+               i["gt_boxes"].shape[1] >= 9 for i in self.infos):
+            self.gt_box_width = 9
         if logger:
             logger.info(f"NuScenesDataset: {len(self.infos)} samples")
 
@@ -216,10 +226,13 @@ class NuScenesDataset(DatasetTemplate):
         info = self.infos[index]
         points = self._load_points(info)
 
+        gt_boxes = info["gt_boxes"].copy()
+        if self.dataset_cfg.get("SET_NAN_VELOCITY_TO_ZEROS", True):
+            gt_boxes[np.isnan(gt_boxes)] = 0.0
         input_dict = {
             "frame_id": info["token"],
             "points": points,
-            "gt_boxes": info["gt_boxes"].copy(),
+            "gt_boxes": gt_boxes,
             "gt_names": info["gt_names"].copy(),
         }
         data_dict = self.prepare_data(input_dict)
@@ -244,7 +257,9 @@ class NuScenesDataset(DatasetTemplate):
                         [class_names[l - 1] for l in labels], dtype="<U32"
                     ),
                     "score": np.asarray(box_dict["pred_scores"]),
-                    "boxes_lidar": boxes[:, :7],
+                    # keep (vx, vy) when the model regresses velocity — the
+                    # devkit results JSON reads cols 7:9 (nuscenes_utils:479)
+                    "boxes_lidar": boxes[:, :9 if boxes.shape[1] >= 9 else 7],
                     "pred_labels": labels,
                 }
             )
@@ -295,15 +310,32 @@ class NuScenesDataset(DatasetTemplate):
                 q = Quaternion(matrix=rot).q  # (w, x, y, z)
                 name = inv_map.get(str(anno["name"][j]),
                                    str(anno["name"][j]).lower())
+                # lidar-frame (vx, vy) → global (reference nuscenes_utils
+                # boxes_lidar_to_nusecnes:479 + lidar_nusc_box_to_global)
+                vel = (tf[:3, :3] @ np.nan_to_num(np.array([b[7], b[8], 0.0]))
+                       if boxes.shape[1] >= 9 else np.zeros(3))
+                # speed-gated attribute (reference nuscenes_utils:526-539):
+                # moving vehicles / ridden cycles above 0.2 m/s, else the
+                # class's dominant static attribute
+                if float(np.hypot(vel[0], vel[1])) > 0.2:
+                    attr = ("vehicle.moving" if name in (
+                        "car", "construction_vehicle", "bus", "truck",
+                        "trailer") else "cycle.with_rider" if name in (
+                        "bicycle", "motorcycle") else
+                        self._DEFAULT_ATTR.get(name, ""))
+                else:
+                    attr = ("pedestrian.standing" if name == "pedestrian"
+                            else "vehicle.stopped" if name == "bus"
+                            else self._DEFAULT_ATTR.get(name, ""))
                 dets.append({
                     "sample_token": token,
                     "translation": center.tolist(),
                     "size": [float(b[4]), float(b[3]), float(b[5])],  # w, l, h
                     "rotation": [float(v) for v in q],
-                    "velocity": [0.0, 0.0],
+                    "velocity": [float(vel[0]), float(vel[1])],
                     "detection_name": name,
                     "detection_score": float(anno["score"][j]),
-                    "attribute_name": self._DEFAULT_ATTR.get(name, ""),
+                    "attribute_name": attr,
                 })
             results[token] = dets
         payload = {

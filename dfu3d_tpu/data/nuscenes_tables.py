@@ -115,20 +115,25 @@ def transform_matrix(translation, rotation: Quaternion, inverse=False):
 
 
 class Box:
-    """3D box: center (3,), wlh (w, l, h), orientation quaternion."""
+    """3D box: center (3,), wlh (w, l, h), orientation quaternion, velocity
+    (3,) — rotate() carries the velocity vector along, devkit Box semantics."""
 
-    def __init__(self, center, wlh, orientation: Quaternion):
+    def __init__(self, center, wlh, orientation: Quaternion, velocity=None):
         self.center = np.asarray(center, dtype=np.float64)
         self.wlh = np.asarray(wlh, dtype=np.float64)
         self.orientation = orientation
+        self.velocity = (np.full(3, np.nan) if velocity is None
+                         else np.asarray(velocity, dtype=np.float64))
 
     def copy(self):
         return Box(self.center.copy(), self.wlh.copy(),
-                   Quaternion(wxyz=self.orientation.q.copy()))
+                   Quaternion(wxyz=self.orientation.q.copy()),
+                   self.velocity.copy())
 
     def rotate(self, q: Quaternion):
         self.center = q.rotation_matrix @ self.center
         self.orientation = q * self.orientation
+        self.velocity = q.rotation_matrix @ self.velocity
 
     def translate(self, t):
         self.center = self.center + np.asarray(t, dtype=np.float64)
@@ -218,13 +223,37 @@ class NuScenesTables:
                 return sd["token"]
         raise KeyError(f"{channel} not found for sample {sample['token']}")
 
+    def box_velocity(self, ann: dict, max_time_diff: float = 1.5):
+        """Global-frame velocity (3,) m/s of an annotation via the central
+        difference of its prev/next annotation positions (devkit
+        NuScenes.box_velocity semantics: one-sided at track ends, nan when
+        isolated or when the sampling gap exceeds max_time_diff)."""
+        has_prev = bool(ann.get("prev"))
+        has_next = bool(ann.get("next"))
+        if not has_prev and not has_next:
+            return np.full(3, np.nan)
+        first = (self.get("sample_annotation", ann["prev"])
+                 if has_prev else ann)
+        last = (self.get("sample_annotation", ann["next"])
+                if has_next else ann)
+        pos_diff = (np.asarray(last["translation"], np.float64)
+                    - np.asarray(first["translation"], np.float64))
+        t_first = 1e-6 * self.get("sample", first["sample_token"])["timestamp"]
+        t_last = 1e-6 * self.get("sample", last["sample_token"])["timestamp"]
+        time_diff = t_last - t_first
+        if time_diff > max_time_diff or time_diff <= 0:
+            return np.full(3, np.nan)
+        return pos_diff / time_diff
+
     def box_in_lidar_frame(self, ann: dict, lidar_sd: dict) -> Box:
         """Global-frame annotation → Box in the nuScenes lidar frame
-        (devkit get_sample_data semantics)."""
+        (devkit get_sample_data semantics; the velocity vector is rotated
+        along, nuscenes_utils.get_sample_data:218-227)."""
         cs = self.get("calibrated_sensor", lidar_sd["calibrated_sensor_token"])
         pose = self.get("ego_pose", lidar_sd["ego_pose_token"])
         box = Box(
-            ann["translation"], ann["size"], Quaternion(wxyz=ann["rotation"])
+            ann["translation"], ann["size"], Quaternion(wxyz=ann["rotation"]),
+            velocity=self.box_velocity(ann),
         )
         # global → ego
         box.translate(-np.asarray(pose["translation"]))

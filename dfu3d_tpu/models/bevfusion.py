@@ -70,6 +70,8 @@ class TransFusion(nn.Module):
             ffn_channel=int(dh.get("FFN_CHANNEL", 256)),
             num_hm_conv=int(dh.get("NUM_HM_CONV", 2)),
             nms_kernel_size=int(dh.get("NMS_KERNEL_SIZE", 3)),
+            use_vel="vel" in list(dh.get("SEPARATE_HEAD_CFG", {}).get(
+                "HEAD_ORDER", [])),
             dataset_name=str(tac.get("DATASET", "nuScenes")),
             use_bias_before_norm=bool(dh.get("USE_BIAS_BEFORE_NORM", False)),
             bn_momentum=1.0 - float(dh.get("BN_MOMENTUM", 0.1)),

@@ -252,7 +252,7 @@ class CenterHead(nn.Module):
         vs = jnp.asarray(self.voxel_size, jnp.float32)
         stride = float(self.feature_map_stride)
 
-        cls_id = gt_boxes[..., 7].astype(jnp.int32)
+        cls_id = gt_boxes[..., -1].astype(jnp.int32)
         cls_id = jnp.clip(cls_id, 0, len(self.class_names))
         head_of = jnp.asarray(self._head_of, dtype=jnp.int32)[cls_id]    # (B, M)
         local_of = jnp.asarray(self._local_of, dtype=jnp.int32)[cls_id]
@@ -300,6 +300,13 @@ class CenterHead(nn.Module):
             ],
             axis=-1,
         )
+        if gt_boxes.shape[-1] > 8:
+            # velocity-width gt: raw (vx, vy) targets for the 'vel' branch
+            # (reference assign_target_of_single_head: ret_boxes[k, 8:] =
+            # gt_boxes[k, 7:-1])
+            target_boxes = jnp.concatenate(
+                [target_boxes, gt_boxes[..., 7:-1]], axis=-1
+            )
         inds = cy_int * W + cx_int
 
         results = []
@@ -340,8 +347,12 @@ class CenterHead(nn.Module):
 
             reg_maps = jnp.concatenate(
                 [pred[name] for name in self.head_order], axis=-1
-            )  # (B, H, W, 8)
+            )  # (B, H, W, 8|10)
             bsz, H, W, D = reg_maps.shape
+            assert tgt.target_boxes.shape[-1] == D, (
+                f"reg target width {tgt.target_boxes.shape[-1]} != predicted "
+                f"{D} — a 'vel' head needs velocity-width (10-col) gt batches"
+            )
             reg_flat = reg_maps.reshape(bsz, H * W, D)
             reg_loss = losses.reg_loss_centernet(
                 reg_flat, tgt.target_boxes, tgt.inds, tgt.mask
@@ -403,6 +414,8 @@ class CenterHead(nn.Module):
                 [xs, ys, center_z, dim[..., 0], dim[..., 1], dim[..., 2], angle],
                 axis=-1,
             )  # (B, K, 7)
+            if "vel" in pred:  # nuScenes velocity branch → (B, K, 9)
+                boxes = jnp.concatenate([boxes, gather("vel")], axis=-1)
 
             valid = (
                 jnp.all(boxes[..., :3] >= post_range[:3], axis=-1)
@@ -429,7 +442,7 @@ class CenterHead(nn.Module):
                                         post_max=post_max, valid=vd)
                     return sel, keep
 
-            sel, keep = jax.vmap(run_nms)(boxes, scores, valid)
+            sel, keep = jax.vmap(run_nms)(boxes[..., :7], scores, valid)
             sel_boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)
             sel_scores = jnp.take_along_axis(scores, sel, axis=1)
             sel_cls = jnp.take_along_axis(cls, sel, axis=1)
@@ -461,7 +474,7 @@ def gaussian_heatmap_targets(gt_boxes, gt_valid, num_class, feature_map_size,
     vs = jnp.asarray(voxel_size, jnp.float32)
     stride = float(feature_map_stride)
 
-    cls_id = jnp.clip(gt_boxes[..., 7].astype(jnp.int32), 0, num_class)
+    cls_id = jnp.clip(gt_boxes[..., -1].astype(jnp.int32), 0, num_class)
     coord_x = jnp.clip((gt_boxes[..., 0] - pcr[0]) / vs[0] / stride, 0.0, W - 0.5)
     coord_y = jnp.clip((gt_boxes[..., 1] - pcr[1]) / vs[1] / stride, 0.0, H - 0.5)
     cx = coord_x.astype(jnp.int32)

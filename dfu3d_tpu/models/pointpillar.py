@@ -114,9 +114,9 @@ class AnchorDetectorBase(nn.Module):
             a_flat = jnp.asarray(anchors.reshape(-1, 7))
 
             def one_frame(gt, valid):
-                mask = valid & (gt[:, 7].astype(jnp.int32) == cls_id)
+                mask = valid & (gt[:, -1].astype(jnp.int32) == cls_id)
                 return assign_targets_single_class(
-                    a_flat, gt[:, :7], mask, gt[:, 7],
+                    a_flat, gt[:, :7], mask, gt[:, -1],
                     acfg["matched_threshold"], acfg["unmatched_threshold"],
                     match_height=match_height,
                 )

@@ -98,7 +98,7 @@ def assign_point_targets(points_xyz, points_valid, gt_boxes, gt_valid,
     any_in = jnp.any(inside, axis=1)
     any_ext = jnp.any(inside_ext, axis=1)
     matched = gt_boxes[box_idx]
-    labels = jnp.where(any_in, matched[:, 7].astype(jnp.int32), 0)
+    labels = jnp.where(any_in, matched[:, -1].astype(jnp.int32), 0)
     labels = jnp.where(any_ext & ~any_in, -1, labels)
     labels = jnp.where(points_valid, labels, -1)
     return labels, matched
@@ -280,7 +280,7 @@ class PointRCNN(nn.Module):
 
         reg_targets = point_encode(
             matched[..., :7], batch.points[..., :3],
-            matched[..., 7].astype(jnp.int32), self.mean_sizes,
+            matched[..., -1].astype(jnp.int32), self.mean_sizes,
         )
         reg_weights = pos.astype(jnp.float32)
         reg_weights = reg_weights / jnp.maximum(

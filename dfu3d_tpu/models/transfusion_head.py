@@ -127,6 +127,7 @@ class TransFusionHead(nn.Module):
     head_channels: int = 64
     num_conv: int = 2           # SEPARATE_HEAD_CFG HEAD_DICT num_conv
     num_hm_conv: int = 2        # NUM_HM_CONV (per-query heatmap branch)
+    use_vel: bool = False       # 'vel' in HEAD_ORDER (nuScenes, code_size 10)
     nms_kernel_size: int = 3
     dataset_name: str = "nuScenes"
     use_bias_before_norm: bool = False
@@ -272,6 +273,7 @@ class TransFusionHead(nn.Module):
         height = branch("height", 1, self.num_conv)
         dim = branch("dim", 3, self.num_conv)
         rot = branch("rot", 2, self.num_conv)                 # (sin, cos)
+        vel = branch("vel", 2, self.num_conv) if self.use_vel else None
         heatmap = branch("heatmap", self.num_class, self.num_hm_conv)
 
         # per-query heatmap score at the query's (class row, cell)
@@ -279,12 +281,15 @@ class TransFusionHead(nn.Module):
             hm.reshape(b, h * w, self.num_class), q_cell[..., None], axis=1
         )  # (B, Q, num_class)
 
-        return {
+        out = {
             "dense_heatmap": dense_heatmap,
             "q_pos": q_pos, "q_cls": q_cls,
             "center": center, "height": height, "dim": dim, "rot": rot,
             "heatmap": heatmap, "query_heatmap_score": qhs,
         }
+        if vel is not None:
+            out["vel"] = vel
+        return out
 
     def decode(self, preds):
         """Per-query predictions → lidar boxes (B, Q, 7) + scores/labels
@@ -295,9 +300,10 @@ class TransFusionHead(nn.Module):
         z = preds["height"][..., 0]
         dims = jnp.exp(jnp.clip(preds["dim"], -5.0, 5.0))
         angle = jnp.arctan2(preds["rot"][..., 0], preds["rot"][..., 1])
-        boxes = jnp.concatenate(
-            [xy, z[..., None], dims, angle[..., None]], axis=-1
-        )
+        parts = [xy, z[..., None], dims, angle[..., None]]
+        if "vel" in preds:  # (B, Q, 9) nuScenes velocity decode
+            parts.append(preds["vel"])
+        boxes = jnp.concatenate(parts, axis=-1)
         one_hot = jax.nn.one_hot(preds["q_cls"], self.num_class)
         scores = (jax.nn.sigmoid(preds["heatmap"])
                   * preds["query_heatmap_score"] * one_hot)
@@ -325,7 +331,7 @@ class TransFusionHead(nn.Module):
                 axis=-1,
             )
             p = jax.nn.sigmoid(cls_logits)  # (Q, num_class)
-            gt_cls = jnp.clip(gt[:, 7].astype(jnp.int32) - 1, 0,
+            gt_cls = jnp.clip(gt[:, -1].astype(jnp.int32) - 1, 0,
                               self.num_class - 1)
             p_gt = jnp.take_along_axis(
                 jnp.broadcast_to(p[:, None, :], (q, m, self.num_class)),
@@ -345,7 +351,7 @@ class TransFusionHead(nn.Module):
         gt_m = jnp.take_along_axis(gt_boxes, safe[..., None], axis=1)
 
         # cls: focal over all queries (matched → gt class, unmatched → bg)
-        gt_cls = jnp.clip(gt_m[..., 7].astype(jnp.int32) - 1, 0,
+        gt_cls = jnp.clip(gt_m[..., -1].astype(jnp.int32) - 1, 0,
                           self.num_class - 1)
         onehot = jax.nn.one_hot(gt_cls, self.num_class) * matched[..., None]
         logits = preds["heatmap"]
@@ -366,16 +372,22 @@ class TransFusionHead(nn.Module):
         pcr = jnp.asarray(self.point_cloud_range, jnp.float32)
         vs = jnp.asarray(self.voxel_size, jnp.float32) * self.feature_map_stride
         t_xy = (gt_m[..., :2] - pcr[None, None, :2]) / vs[None, None, :2]
-        t = jnp.concatenate(
-            [t_xy, gt_m[..., 2:3],
-             jnp.log(jnp.maximum(gt_m[..., 3:6], 1e-3)),
-             jnp.sin(gt_m[..., 6:7]), jnp.cos(gt_m[..., 6:7])], axis=-1,
-        )
-        pred_vec = jnp.concatenate(
-            [preds["center"], preds["height"], preds["dim"], preds["rot"]],
-            axis=-1,
-        )
-        reg = jnp.sum(jnp.abs(pred_vec - t), axis=-1)
+        t_parts = [t_xy, gt_m[..., 2:3],
+                   jnp.log(jnp.maximum(gt_m[..., 3:6], 1e-3)),
+                   jnp.sin(gt_m[..., 6:7]), jnp.cos(gt_m[..., 6:7])]
+        pred_parts = [preds["center"], preds["height"], preds["dim"],
+                      preds["rot"]]
+        if "vel" in preds:  # encode_bbox:393-394 — raw (vx, vy) targets
+            assert gt_m.shape[-1] >= 10, (
+                "a 'vel' TransFusion head needs velocity-width (10-col) gt")
+            t_parts.append(gt_m[..., 7:9])
+            pred_parts.append(preds["vel"])
+        t = jnp.concatenate(t_parts, axis=-1)
+        pred_vec = jnp.concatenate(pred_parts, axis=-1)
+        cw = lw.get("code_weights")
+        cw = (jnp.asarray(cw, jnp.float32)[: t.shape[-1]] if cw is not None
+              else jnp.ones(t.shape[-1], jnp.float32))
+        reg = jnp.sum(jnp.abs(pred_vec - t) * cw, axis=-1)
         reg_loss = jnp.sum(jnp.where(matched, reg, 0.0)) / jnp.maximum(
             jnp.sum(matched), 1.0
         )

@@ -108,7 +108,14 @@ class VoxelNeXt(nn.Module):
         self.hm_head = nn.Dense(len(self.class_names), param_dtype=jnp.float32,
                                 bias_init=nn.initializers.constant(-2.19),
                                 name="hm_head")
-        self.reg_head = nn.Dense(8, param_dtype=jnp.float32, name="reg_head")
+        # velocity regression ('vel' in HEAD_ORDER — nuScenes configs):
+        # (vx, vy) ride as reg channels 8:10, before the optional iou channel
+        self.use_vel = "vel" in list(
+            dh.get("SEPARATE_HEAD_CFG", {}).get("HEAD_ORDER", [])
+        )
+        self._reg_dim = 8 + (2 if self.use_vel else 0)
+        self.reg_head = nn.Dense(self._reg_dim, param_dtype=jnp.float32,
+                                 name="reg_head")
         # IoU branch (reference voxelnext_ioubranch configs /
         # voxelnext_head.py IoU path): per-voxel IoU estimate, L1-trained
         # against the decoded box's actual IoU, rectifying scores at
@@ -186,7 +193,7 @@ class VoxelNeXt(nn.Module):
         """Nearest-active-voxel assignment + distance gaussian."""
         vx, vy = self._voxel_xy(bev)  # (B, V)
         gx, gy = gt_boxes[..., 0], gt_boxes[..., 1]  # (B, M)
-        cls_id = gt_boxes[..., 7].astype(jnp.int32)
+        cls_id = gt_boxes[..., -1].astype(jnp.int32)
         live = gt_valid & (cls_id > 0) & (gt_boxes[..., 3] > 0)
 
         d2 = (
@@ -236,6 +243,10 @@ class VoxelNeXt(nn.Module):
             ],
             axis=-1,
         )
+        if self.use_vel:
+            assert gt_boxes.shape[-1] >= 10, (
+                "a 'vel' VoxelNeXt head needs velocity-width (10-col) gt")
+            reg_t = jnp.concatenate([reg_t, gt_boxes[..., 7:9]], axis=-1)
         return hm_t, nearest, reg_t, claimed
 
     def __call__(self, batch, train: bool = True):
@@ -246,9 +257,13 @@ class VoxelNeXt(nn.Module):
         hm_prob = losses.sigmoid_clamped(hm)
         hm_prob = jnp.where(bev.valid[..., None], hm_prob, 1e-4)
         hm_loss = losses.focal_loss_centernet(hm_prob, hm_t)
-        reg_loss = losses.reg_loss_centernet(reg[..., :8], reg_t, inds, mask)
+        reg_loss = losses.reg_loss_centernet(
+            reg[..., : self._reg_dim], reg_t, inds, mask
+        )
         lw = self.cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
-        code_w = jnp.asarray(lw.get("code_weights", [1.0] * 8), jnp.float32)
+        code_w = jnp.asarray(
+            lw.get("code_weights", [1.0] * self._reg_dim), jnp.float32
+        )[: self._reg_dim]
         total = (
             hm_loss * lw.get("cls_weight", 1.0)
             + jnp.sum(reg_loss * code_w) * lw.get("loc_weight", 0.25)
@@ -278,7 +293,7 @@ class VoxelNeXt(nn.Module):
             w = mask.astype(jnp.float32)
             w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
             iou_loss = jnp.sum(
-                jnp.abs(jnp.tanh(rp[..., 8]) - actual) * w
+                jnp.abs(jnp.tanh(rp[..., self._reg_dim]) - actual) * w
             ) / reg.shape[0]
             total = total + iou_loss
             tb["iou_loss"] = iou_loss
@@ -296,8 +311,7 @@ class VoxelNeXt(nn.Module):
         jitted program (our voxelization is in-model), and the sparse
         unique/index_add merge is a sort-compaction segment mean. Deviations:
         un-flipped grid indices use the involutive n-1-i (the reference's
-        `spatial_shape - ind` is off by one), and our reg layout carries no
-        vel channel.
+        `spatial_shape - ind` is off by one).
         """
         pts, pv = batch.points, batch.points_valid
         b = pts.shape[0]
@@ -338,9 +352,16 @@ class VoxelNeXt(nn.Module):
             ],
             axis=-1,
         )  # (4, 8)
-        if reg.shape[-1] > 8:  # iou channel (flip-invariant)
+        if self.use_vel:  # vel mirrors like the center offsets
             reg_scale = jnp.concatenate(
-                [reg_scale, jnp.ones((4, reg.shape[-1] - 8))], axis=-1
+                [reg_scale,
+                 jnp.stack([flip_x.astype(jnp.float32),
+                            flip_y.astype(jnp.float32)], axis=-1)], axis=-1,
+            )
+        if reg.shape[-1] > self._reg_dim:  # iou channel (flip-invariant)
+            reg_scale = jnp.concatenate(
+                [reg_scale,
+                 jnp.ones((4, reg.shape[-1] - self._reg_dim))], axis=-1,
             )
         reg = reg * reg_scale[:, None, None, :]
 
@@ -425,10 +446,12 @@ class VoxelNeXt(nn.Module):
             ],
             axis=-1,
         )
+        if self.use_vel:  # (B, K, 9) velocity decode
+            boxes = jnp.concatenate([boxes, r[..., 8:10]], axis=-1)
         if self.use_iou_branch and pp.get("USE_IOU_TO_RECTIFY_SCORE", True):
             # per-class score rectification score^(1-w) · iou^w
             # (voxelnext_ioubranch configs; second_net_iou.py semantics)
-            iou = jnp.clip(jnp.tanh(r[..., 8]), 0.0, 1.0)
+            iou = jnp.clip(jnp.tanh(r[..., self._reg_dim]), 0.0, 1.0)
             w = jnp.asarray(self.iou_rectifier, jnp.float32)[cls - 1]
             scores = jnp.power(jnp.maximum(scores, 1e-8), 1.0 - w) * jnp.power(
                 jnp.maximum(iou, 1e-4), w
@@ -438,7 +461,7 @@ class VoxelNeXt(nn.Module):
         nms_cfg = pp.NMS_CONFIG
         def one(bx, sc, lb, vd):
             sel, keep = nms_bev(
-                bx, sc, float(nms_cfg.NMS_THRESH),
+                bx[:, :7], sc, float(nms_cfg.NMS_THRESH),
                 pre_max=min(int(nms_cfg.NMS_PRE_MAXSIZE), k),
                 post_max=int(nms_cfg.NMS_POST_MAXSIZE), valid=vd,
             )

@@ -306,6 +306,7 @@ def _mha(m, ours, ref, num_heads):
 
 
 def transfusion_head_mapping(num_heads=8, num_conv=2, num_hm_conv=2,
+                             use_vel=False,
                              ours_prefix=("dense_head",),
                              ref_prefix="dense_head"
                              ) -> Dict[Tuple, Tuple[str, Callable]]:
@@ -343,9 +344,11 @@ def transfusion_head_mapping(num_heads=8, num_conv=2, num_hm_conv=2,
         _ln(m, p + (f"norm{i}",), f"{r}.decoder.norm{i}")
     _dense(m, p + ("linear1",), f"{r}.decoder.linear1")
     _dense(m, p + ("linear2",), f"{r}.decoder.linear2")
-    for name, nc in (("center", num_conv), ("height", num_conv),
-                     ("dim", num_conv), ("rot", num_conv),
-                     ("heatmap", num_hm_conv)):
+    branches = [("center", num_conv), ("height", num_conv),
+                ("dim", num_conv), ("rot", num_conv)]
+    if use_vel:
+        branches.append(("vel", num_conv))
+    for name, nc in branches + [("heatmap", num_hm_conv)]:
         base = f"{r}.prediction_head.{name}"
         for i in range(nc - 1):
             m[("params",) + p + (f"{name}_conv{i}", "kernel")] = (

@@ -242,3 +242,45 @@ class TestBevFusion:
                               max_voxels=512)
         batch = _mm_batch(np.random.RandomState(2))
         _smoke(model, batch, check_tb=("tf_hm_loss",))
+
+
+class TestTransFusionVelocity:
+    def test_vel_branch_loss_and_decode(self):
+        """'vel' in HEAD_ORDER: 10-col gt, vel L1 with code weights
+        (reference encode_bbox:384-395, code_size 10), 9-dim decode."""
+        cfg = CfgDict({
+            "NAME": "TransFusion",
+            "BACKBONE_3D": {"CHANNELS": [4, 4, 8, 8, 8], "OUT_CHANNELS": 16},
+            "BACKBONE_2D": {"LAYER_NUMS": [1], "LAYER_STRIDES": [1],
+                            "NUM_FILTERS": [16], "UPSAMPLE_STRIDES": [1],
+                            "NUM_UPSAMPLE_FILTERS": [16]},
+            "DENSE_HEAD": {
+                "NAME": "TransFusionHead", "NUM_PROPOSALS": 16,
+                "HIDDEN_CHANNEL": 16, "NUM_HEADS": 2,
+                "SEPARATE_HEAD_CFG": {
+                    "HEAD_ORDER": ["center", "height", "dim", "rot", "vel"]},
+                "TARGET_ASSIGNER_CONFIG": {"FEATURE_MAP_STRIDE": 8},
+                "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+                    "cls_weight": 1.0, "bbox_weight": 0.25, "hm_weight": 1.0,
+                    "code_weights": [1.0] * 8 + [0.2, 0.2]}},
+            },
+        })
+        model = build_network(cfg, ["Car", "Pedestrian", "Cyclist"], _grid(),
+                              max_voxels=512)
+        base = _mm_batch(np.random.RandomState(1))
+        rng = np.random.RandomState(2)
+        b, m = base.gt_boxes.shape[:2]
+        gt = np.zeros((b, m, 10), np.float32)
+        gt[..., :7] = base.gt_boxes[..., :7]
+        gt[..., 7:9] = rng.uniform(-2, 2, (b, m, 2))
+        gt[..., 9] = base.gt_boxes[..., -1]
+        batch = base._replace(gt_boxes=gt)
+        tb = _smoke(model, batch,
+                    check_tb=("tf_cls_loss", "tf_reg_loss", "tf_hm_loss"))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False,
+            method=lambda mm, bb, train: mm._features(bb, train),
+        )
+        boxes, *_ = model.apply(variables, batch, method=model.predict)
+        assert boxes.shape[-1] == 9
+        assert np.isfinite(np.asarray(boxes)).all()

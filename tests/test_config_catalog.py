@@ -126,7 +126,11 @@ def _points_batch(cfg, rng, b=1, n=512, m=8, with_time=False):
     pts[..., 3] = rng.uniform(0, 1, (b, n))
     if with_time:
         pts[..., 4] = rng.randint(0, 4, (b, n)).astype(np.float32) * 0.1
-    gt = np.zeros((b, m, 8), np.float32)
+    # velocity-width gt when any head regresses 'vel' (nuScenes family)
+    head_orders = str(cfg.MODEL.get("DENSE_HEAD", {}).get(
+        "SEPARATE_HEAD_CFG", {}).get("HEAD_ORDER", []))
+    width = 10 if "vel" in head_orders else 8
+    gt = np.zeros((b, m, width), np.float32)
     for i in range(2):
         ext = pcr[3 + i] - pcr[i]
         gt[..., i] = rng.uniform(pcr[i] + 0.05 * ext, pcr[3 + i] - 0.05 * ext,
@@ -134,7 +138,9 @@ def _points_batch(cfg, rng, b=1, n=512, m=8, with_time=False):
     gt[..., 2] = rng.uniform(pcr[2] + 1, min(pcr[5] - 1, pcr[2] + 3), (b, m))
     gt[..., 3:6] = rng.uniform(0.8, 4.5, (b, m, 3))
     gt[..., 6] = rng.uniform(-3, 3, (b, m))
-    gt[..., 7] = rng.randint(1, nc + 1, (b, m))
+    if width == 10:
+        gt[..., 7:9] = rng.uniform(-3, 3, (b, m, 2))
+    gt[..., -1] = rng.randint(1, nc + 1, (b, m))
     return PointBatch(pts, np.ones((b, n), bool), gt, np.ones((b, m), bool))
 
 
@@ -146,6 +152,7 @@ SMOKE_CONFIGS = [
     "kitti_models/pointrcnn_iou.yaml",
     "kitti_models/pv_rcnn.yaml",
     "nuscenes_models/cbgs_pp_multihead.yaml",   # 10-class AnchorHeadMulti
+    "nuscenes_models/cbgs_dyn_pp_centerpoint.yaml",  # velocity ('vel') branch
     "nuscenes_models/cbgs_voxel0075_voxelnext_doubleflip.yaml",
     "waymo_models/voxelnext_ioubranch_large.yaml",
     "waymo_models/dsvt_pillar.yaml",

@@ -274,3 +274,70 @@ class TestVoxelCenterPoint:
         assert np.isfinite(float(loss)) and float(loss) > 0
         out = model.apply(variables, batch, method=lambda m, b: m.predict(b))
         assert np.all(np.isfinite(np.asarray(out[0])))
+
+
+class TestVelocityBranch:
+    """nuScenes velocity regression ('vel' in HEAD_ORDER): 10-wide gt batches
+    [x y z dx dy dz rot vx vy cls], vel targets at reg columns 8:10
+    (reference center_head.py assign_target_of_single_head:
+    ret_boxes[k, 8:] = gt_boxes[k, 7:-1]), decode emits 9-dim boxes."""
+
+    def _velo_cfg(self):
+        cfg = tiny_model_cfg()
+        dh = cfg["DENSE_HEAD"]
+        dh["SEPARATE_HEAD_CFG"]["HEAD_ORDER"] = [
+            "center", "center_z", "dim", "rot", "vel"]
+        dh["SEPARATE_HEAD_CFG"]["HEAD_DICT"]["vel"] = {
+            "out_channels": 2, "num_conv": 2}
+        dh["LOSS_CONFIG"]["LOSS_WEIGHTS"]["code_weights"] = (
+            [1.0] * 6 + [0.2, 0.2, 1.0, 1.0])
+        return cfg
+
+    def _velo_batch(self, rng, b=2, n=512, m=8):
+        base = make_batch(rng, b, n, m)
+        gt = np.zeros((b, m, 10), np.float32)
+        gt[..., :7] = base.gt_boxes[..., :7]
+        gt[..., 7:9] = rng.uniform(-3, 3, (b, m, 2))
+        gt[..., 9] = base.gt_boxes[..., 7]  # class id, LAST column
+        return PointBatch(base.points, base.points_valid, gt, base.gt_valid)
+
+    def test_vel_targets_and_loss_and_decode(self):
+        model = build_network(self._velo_cfg(), CLASS_NAMES, tiny_grid())
+        rng = np.random.RandomState(5)
+        batch = self._velo_batch(rng)
+
+        variables0 = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False,
+            method=lambda m, b, train: m._features(b, train),
+        )
+        # target columns 8:10 equal the gt velocity at assigned cells
+        head = model.bind(variables0).dense_head
+        targets = head.assign_targets(
+            jnp.asarray(batch.gt_boxes), jnp.asarray(batch.gt_valid), (16, 16)
+        )
+        assert targets[0].target_boxes.shape[-1] == 10
+        tb = np.asarray(targets[0].target_boxes)
+        mask = np.asarray(targets[0].mask)
+        np.testing.assert_allclose(
+            tb[mask][:, 8:10], batch.gt_boxes[mask][:, 7:9], atol=1e-6)
+
+        variables = variables0
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {**variables, "params": params}, batch, train=True,
+                mutable=["batch_stats"],
+            )
+            return out[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        vel_grads = jax.tree_util.tree_leaves(
+            {k: v for k, v in grads.items()}
+        )
+        assert all(np.isfinite(np.asarray(g)).all() for g in vel_grads)
+
+        boxes, scores, labels, valid = model.apply(
+            variables, batch, method=model.predict)
+        assert boxes.shape[-1] == 9
+        assert np.isfinite(np.asarray(boxes)).all()

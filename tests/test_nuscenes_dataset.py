@@ -57,7 +57,10 @@ class TestNuScenesDataset:
         assert len(ds) == 1
         item = ds[0]
         assert len(item["points"]) > 0
-        assert item["gt_boxes"].shape[1] == 8
+        # 9-dim infos → velocity-width contract: [x y z dx dy dz rot vx vy cls]
+        assert item["gt_boxes"].shape[1] == 10
+        # the isolated annotation has nan velocity, zeroed at load
+        assert np.allclose(item["gt_boxes"][:, 7:9], 0.0)
 
         # eval round-trip: gt as predictions → AP table produced
         from dfu3d_tpu.data.dataset import BatchMeta
@@ -144,3 +147,108 @@ class TestMultiSweep:
         assert sorted(d["size"]) == sorted(
             [float(x) for x in infos[0]["gt_boxes"][0, [4, 3, 5]]]
         )
+
+
+@pytest.fixture
+def nusc_root_velo(nusc_root):
+    """Extend the synthetic database with a prev/next annotation chain so the
+    key-frame car carries a finite-difference velocity (devkit box_velocity
+    semantics): global positions 9.5→10.0→10.5 in x and +0.25→0→−0.25 in y
+    over 1.0 s ⇒ v_global = (1.0, −0.5) m/s."""
+    import json
+
+    tdir = nusc_root / "v1.0-mini"
+
+    def load(name):
+        return json.loads((tdir / f"{name}.json").read_text())
+
+    samples = load("sample")
+    samples[0]["timestamp"] = 500000  # µs
+    samples += [
+        {"token": "samp_prev", "scene_token": "scene0", "timestamp": 0},
+        {"token": "samp_next", "scene_token": "scene0", "timestamp": 1000000},
+    ]
+    sd = load("sample_data")
+    for tok, samp in (("sd_lid_p", "samp_prev"), ("sd_lid_n", "samp_next")):
+        sd.append({
+            "token": tok, "sample_token": samp, "is_key_frame": True,
+            "calibrated_sensor_token": "cs_lid", "ego_pose_token": "pose0",
+            "filename": "samples/LIDAR_TOP/lid0.pcd.bin", "next": "",
+        })
+    anns = load("sample_annotation")
+    anns[0]["prev"] = "ann_prev"
+    anns[0]["next"] = "ann_next"
+    anns += [
+        {"token": "ann_prev", "sample_token": "samp_prev",
+         "category_token": "cat_car", "translation": [9.5, 0.25, 1.0],
+         "size": [1.8, 4.0, 1.6], "rotation": [1, 0, 0, 0],
+         "prev": "", "next": "ann0"},
+        {"token": "ann_next", "sample_token": "samp_next",
+         "category_token": "cat_car", "translation": [10.5, -0.25, 1.0],
+         "size": [1.8, 4.0, 1.6], "rotation": [1, 0, 0, 0],
+         "prev": "ann0", "next": ""},
+    ]
+    (tdir / "sample.json").write_text(json.dumps(samples))
+    (tdir / "sample_data.json").write_text(json.dumps(sd))
+    (tdir / "sample_annotation.json").write_text(json.dumps(anns))
+    return nusc_root
+
+
+class TestVelocity:
+    def test_box_velocity_devkit_semantics(self, nusc_root_velo):
+        from dfu3d_tpu.data.nuscenes_tables import NuScenesTables
+
+        nusc = NuScenesTables(nusc_root_velo, "v1.0-mini")
+        ann0 = nusc.get("sample_annotation", "ann0")
+        # central difference over the full prev→next window
+        np.testing.assert_allclose(
+            nusc.box_velocity(ann0), [1.0, -0.5, 0.0], atol=1e-9)
+        # one-sided at track ends
+        np.testing.assert_allclose(
+            nusc.box_velocity(nusc.get("sample_annotation", "ann_prev")),
+            [1.0, -0.5, 0.0], atol=1e-9)
+        # isolated annotation → nan
+        lone = {"token": "x", "sample_token": "samp0",
+                "translation": [0, 0, 0], "prev": "", "next": ""}
+        assert np.isnan(nusc.box_velocity(lone)).all()
+        # stale gap (> max_time_diff) → nan
+        assert np.isnan(nusc.box_velocity(ann0, max_time_diff=0.4)).all()
+
+    def test_infos_carry_lidar_frame_velocity(self, nusc_root_velo):
+        infos = create_nuscenes_infos(
+            nusc_root_velo, "v1.0-mini",
+            save_path=nusc_root_velo / "nuscenes_infos.pkl",
+        )
+        by_tok = {i["token"]: i for i in infos}
+        box = by_tok["samp0"]["gt_boxes"][0]
+        assert box.shape == (9,)
+        # lidar = ego rotated by +90° about z (fixture cs rotation −90°):
+        # v_lidar = rot(+90°) @ (1.0, −0.5) = (0.5, 1.0)
+        np.testing.assert_allclose(box[7:9], [0.5, 1.0], atol=1e-6)
+
+    def test_batch_contract_and_augmentor(self, nusc_root_velo):
+        create_nuscenes_infos(
+            nusc_root_velo, "v1.0-mini",
+            save_path=nusc_root_velo / "nuscenes_infos.pkl",
+        )
+        ds = NuScenesDataset(_cfg(nusc_root_velo), ["Car"], training=False,
+                             root_path=nusc_root_velo)
+        assert ds.gt_box_width == 9
+        items = [ds[i] for i in range(len(ds))]
+        batch, _ = ds.collate_batch(items)
+        assert batch.gt_boxes.shape[-1] == 10
+        # class id rides in the LAST column; velocity in 7:9
+        key = [i for i, it in enumerate(items)
+               if it["frame_id"] == "samp0"][0]
+        assert batch.gt_boxes[key, 0, -1] == 1.0
+        np.testing.assert_allclose(batch.gt_boxes[key, 0, 7:9], [0.5, 1.0],
+                                   atol=1e-6)
+
+        # global rotation carries the velocity vector along
+        from dfu3d_tpu.data.augmentor_utils import global_rotation
+
+        g9 = np.asarray(
+            [[0, 10, 1, 4.0, 1.8, 1.6, 0.0, 0.5, 1.0]], np.float32)
+        rot, _, ang = global_rotation(g9, np.zeros((1, 4), np.float32),
+                                      [np.pi / 2, np.pi / 2], np.random)
+        np.testing.assert_allclose(rot[0, 7:9], [-1.0, 0.5], atol=1e-6)

@@ -410,12 +410,13 @@ class TestTransFusionHeadParity:
             DROPOUT=0.0, BN_MOMENTUM=0.1, ACTIVATION="relu",
             NUM_HM_CONV=2,
             SEPARATE_HEAD_CFG=EDict(dict(
-                HEAD_ORDER=["center", "height", "dim", "rot"],
+                HEAD_ORDER=["center", "height", "dim", "rot", "vel"],
                 HEAD_DICT={
                     "center": {"out_channels": 2, "num_conv": 2},
                     "height": {"out_channels": 1, "num_conv": 2},
                     "dim": {"out_channels": 3, "num_conv": 2},
                     "rot": {"out_channels": 2, "num_conv": 2},
+                    "vel": {"out_channels": 2, "num_conv": 2},
                 },
             )),
             TARGET_ASSIGNER_CONFIG=EDict(dict(
@@ -466,7 +467,8 @@ class TestTransFusionHeadParity:
             score = score * res["query_heatmap_score"] * one_hot
             ref_dec = container.dense_head.decode_bbox(
                 score, res["rot"].clone(), res["dim"].clone(),
-                res["center"].clone(), res["height"].clone(), None,
+                res["center"].clone(), res["height"].clone(),
+                res["vel"].clone(),
             )
             # reconstruct the cells predict() selected (it only stores the
             # class labels) by replaying its query init on dense_heatmap
@@ -487,6 +489,7 @@ class TestTransFusionHeadParity:
         head = TransFusionHead(
             num_class=self.NUM_CLASS, num_proposals=self.Q,
             hidden=self.HIDDEN, num_heads=self.HEADS, ffn_channel=128,
+            use_vel=True,
             point_cloud_range=self.PCR3, voxel_size=self.VOXEL3,
             feature_map_stride=1,
         )
@@ -495,7 +498,7 @@ class TestTransFusionHeadParity:
         state = {k: v.numpy() for k, v in container.state_dict().items()}
         new_vars, report = tc.apply_mapping(
             variables, state, tc.transfusion_head_mapping(
-                num_heads=self.HEADS, ours_prefix=())
+                num_heads=self.HEADS, use_vel=True, ours_prefix=())
         )
         assert not report["missing_in_torch"], report["missing_in_torch"]
         assert not report["unmatched_ours"], report["unmatched_ours"]
@@ -547,7 +550,7 @@ class TestTransFusionHeadParity:
             self._take(preds["q_cls"], perm),
             container.dense_head.query_labels.numpy(),
         )
-        for name in ("center", "height", "dim", "rot", "heatmap",
+        for name in ("center", "height", "dim", "rot", "vel", "heatmap",
                      "query_heatmap_score"):
             np.testing.assert_allclose(
                 self._take(preds[name], perm),
