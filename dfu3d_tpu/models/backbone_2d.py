@@ -87,10 +87,14 @@ class BaseBEVBackbone(nn.Module):
 
 
 class ResConvBlock(nn.Module):
-    """2D residual basic block (reference base_bev_backbone.py BasicBlock)."""
+    """2D residual basic block (reference base_bev_backbone.py BasicBlock).
+    `downsample` forces the conv+BN shortcut even at stride 1 / matching
+    channels — the reference passes downsample=True for every level-leading
+    block (base_bev_backbone.py:280)."""
 
     features: int
     stride: int = 1
+    downsample: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,11 +112,16 @@ class ResConvBlock(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=jnp.float32,
                          param_dtype=jnp.float32)(y)
-        if self.stride != 1 or identity.shape[-1] != self.features:
+        if (self.downsample or self.stride != 1
+                or identity.shape[-1] != self.features):
             identity = nn.Conv(self.features, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                param_dtype=jnp.float32, name="shortcut")(identity)
+            identity = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.99, epsilon=1e-3,
+                                    dtype=jnp.float32, param_dtype=jnp.float32,
+                                    name="shortcut_bn")(identity)
         return nn.relu(y + identity.astype(y.dtype)).astype(self.dtype)
 
 
@@ -132,7 +141,8 @@ class BaseBEVResBackbone(nn.Module):
         ups = []
         for i, num_layers in enumerate(self.layer_nums):
             x = ResConvBlock(self.num_filters[i], stride=self.layer_strides[i],
-                             dtype=self.dtype, name=f"block{i}_down")(x, train)
+                             downsample=True, dtype=self.dtype,
+                             name=f"block{i}_down")(x, train)
             for j in range(num_layers):
                 x = ResConvBlock(self.num_filters[i], dtype=self.dtype,
                                  name=f"block{i}_res{j}")(x, train)
@@ -155,10 +165,12 @@ class BaseBEVResBackbone(nn.Module):
 
 
 class BaseBEVBackboneV1(nn.Module):
-    """V1 variant (reference BaseBEVBackboneV1): consumes a LIST of
-    multi-scale BEV maps (e.g. x_conv4/x_conv5 from a 2D-sparse encoder),
-    refines each with its conv stack, upsamples all to a common stride, and
-    concatenates — no initial downsample convs."""
+    """V1 variant — reference-exact dataflow (base_bev_backbone.py:182-204,
+    the PillarNet/2D-sparse neck): the FINE map (x_conv4) is deblocked RAW,
+    the coarse map (x_conv5) runs blocks[1] then deblocks[1], and blocks[0]
+    refines the CONCATENATION — so NUM_FILTERS[0] must equal
+    sum(NUM_UPSAMPLE_FILTERS). Each block is a stride-1 leading conv plus
+    LAYER_NUMS[i] convs (all conv-BN-ReLU, bias-free, BN eps 1e-3)."""
 
     layer_nums: Sequence[int]
     num_filters: Sequence[int]
@@ -166,24 +178,32 @@ class BaseBEVBackboneV1(nn.Module):
     num_upsample_filters: Sequence[int]
     dtype: jnp.dtype = jnp.float32
 
+    def _block(self, i, x, train):
+        x = ConvBNReLU(self.num_filters[i], dtype=self.dtype,
+                       name=f"block{i}_in")(x, train)
+        for j in range(self.layer_nums[i]):
+            x = ConvBNReLU(self.num_filters[i], dtype=self.dtype,
+                           name=f"block{i}_conv{j}")(x, train)
+        return x
+
+    def _deblock(self, i, x, train):
+        stride = self.upsample_strides[i]
+        if stride >= 1:
+            return ConvBNReLU(self.num_upsample_filters[i],
+                              kernel=int(stride), stride=int(stride),
+                              transpose=True, dtype=self.dtype,
+                              name=f"deblock{i}")(x, train)
+        k = int(round(1 / stride))
+        return ConvBNReLU(self.num_upsample_filters[i], kernel=k,
+                          stride=k, padding="VALID", dtype=self.dtype,
+                          name=f"deblock{i}")(x, train)
+
     @nn.compact
     def __call__(self, feature_maps, train: bool):
-        assert len(feature_maps) == len(self.layer_nums)
-        ups = []
-        for i, (x, num_layers) in enumerate(zip(feature_maps, self.layer_nums)):
-            for j in range(num_layers):
-                x = ConvBNReLU(self.num_filters[i], dtype=self.dtype,
-                               name=f"block{i}_conv{j}")(x, train)
-            stride = self.upsample_strides[i]
-            if stride >= 1:
-                up = ConvBNReLU(self.num_upsample_filters[i],
-                                kernel=int(stride), stride=int(stride),
-                                transpose=True, dtype=self.dtype,
-                                name=f"deblock{i}")(x, train)
-            else:
-                k = int(round(1 / stride))
-                up = ConvBNReLU(self.num_upsample_filters[i], kernel=k,
-                                stride=k, padding="VALID", dtype=self.dtype,
-                                name=f"deblock{i}")(x, train)
-            ups.append(up)
-        return jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+        assert len(feature_maps) == len(self.layer_nums) == 2
+        x4, x5 = feature_maps
+        ups = [self._deblock(0, x4.astype(self.dtype), train)]
+        ups.append(self._deblock(1, self._block(1, x5.astype(self.dtype),
+                                                train), train))
+        x = jnp.concatenate(ups, axis=-1)
+        return self._block(0, x, train)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.voxel import VoxelGrid
-from .backbone_2d import BaseBEVBackbone
+from .backbone_2d import BaseBEVBackbone, BaseBEVResBackbone
 from .center_head import CenterHead
 from .vfe import DynPillarVFE
 
@@ -106,8 +106,10 @@ class CenterPoint(nn.Module):
                 dtype=self.dtype,
             )
         bb = cfg.BACKBONE_2D
-        assert bb.NAME == "BaseBEVBackbone", bb.NAME
-        self.backbone_2d = BaseBEVBackbone(
+        assert bb.NAME in ("BaseBEVBackbone", "BaseBEVResBackbone"), bb.NAME
+        bb_cls = (BaseBEVBackbone if bb.NAME == "BaseBEVBackbone"
+                  else BaseBEVResBackbone)
+        self.backbone_2d = bb_cls(
             layer_nums=tuple(bb.LAYER_NUMS),
             layer_strides=tuple(bb.LAYER_STRIDES),
             num_filters=tuple(bb.NUM_FILTERS),

@@ -50,14 +50,14 @@ class _SetAttention(nn.Module):
         out = jnp.einsum("shlm,smhd->slhd", w, v).reshape(sets.shape)
         out = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                        name="proj")(out)
-        y = nn.LayerNorm(param_dtype=jnp.float32, name="ln1")(
+        y = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="ln1")(
             (sets + out).astype(jnp.float32)
         ).astype(self.dtype)
         ff = nn.Dense(self.dim * 2, dtype=self.dtype, param_dtype=jnp.float32,
                       name="ffn1")(y)
         ff = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                      name="ffn2")(nn.gelu(ff))
-        z = nn.LayerNorm(param_dtype=jnp.float32, name="ln2")(
+                      name="ffn2")(nn.gelu(ff, approximate=False))
+        z = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="ln2")(
             (y + ff).astype(jnp.float32)
         ).astype(self.dtype)
         return jnp.where(set_mask[..., None], z, 0.0)

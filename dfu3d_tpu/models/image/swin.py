@@ -87,7 +87,7 @@ class SwinBlock(nn.Module):
         b, _, c = x.shape
         ws, sh = self.window_size, self.shift
         shortcut = x
-        y = nn.LayerNorm(param_dtype=jnp.float32, name="norm1")(
+        y = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="norm1")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         y = y.reshape(b, h, w, c)
@@ -120,12 +120,12 @@ class SwinBlock(nn.Module):
         y = y[:, :h, :w].reshape(b, h * w, c)
         x = shortcut + y
 
-        z = nn.LayerNorm(param_dtype=jnp.float32, name="norm2")(
+        z = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="norm2")(
             x.astype(jnp.float32)
         ).astype(self.dtype)
         z = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      param_dtype=jnp.float32, name="mlp_fc1")(z)
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)  # torch nn.GELU default is exact erf
         z = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_fc2")(z)
         return x + z
@@ -147,7 +147,7 @@ class PatchMerging(nn.Module):
         )
         h2, w2 = y.shape[1], y.shape[2]
         y = y.reshape(b, h2 * w2, 4 * c)
-        y = nn.LayerNorm(param_dtype=jnp.float32, name="norm")(
+        y = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="norm")(
             y.astype(jnp.float32)
         ).astype(self.dtype)
         y = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
@@ -176,7 +176,7 @@ class SwinTransformer(nn.Module):
             images.astype(self.dtype)
         )
         b, h, w, c = x.shape
-        x = nn.LayerNorm(param_dtype=jnp.float32, name="patch_norm")(
+        x = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="patch_norm")(
             x.reshape(b, h * w, c).astype(jnp.float32)
         ).astype(self.dtype)
 
@@ -190,7 +190,7 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype, name=f"stage{i}_block{j}",
                 )(x, h, w)
             if i in self.out_indices:
-                y = nn.LayerNorm(param_dtype=jnp.float32, name=f"out_norm{i}")(
+                y = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name=f"out_norm{i}")(
                     x.astype(jnp.float32)
                 ).astype(self.dtype)
                 outs.append(y.reshape(b, h, w, dim))

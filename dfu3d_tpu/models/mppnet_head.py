@@ -178,14 +178,14 @@ class ResidualFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, update):
-        x = nn.LayerNorm(param_dtype=jnp.float32, name="norm_in")(
+        x = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="norm_in")(
             (x + update).astype(jnp.float32)
         ).astype(self.dtype)
         h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(x)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(nn.relu(h))
-        return nn.LayerNorm(param_dtype=jnp.float32, name="norm_out")(
+        return nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="norm_out")(
             (x + h).astype(jnp.float32)
         ).astype(self.dtype)
 
@@ -230,7 +230,7 @@ class SpatialMixerBlock(nn.Module):
             m = PlainMLP(self.mixer_hidden, g, 3, dtype=self.dtype,
                          name=f"mixer_{nm}")(m)
             s = s + jnp.moveaxis(m, -1, ax)
-            s = nn.LayerNorm(param_dtype=jnp.float32, name=f"norm_{nm}")(
+            s = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name=f"norm_{nm}")(
                 s.astype(jnp.float32)
             ).astype(self.dtype)
         s = s.reshape(x.shape)
@@ -238,7 +238,7 @@ class SpatialMixerBlock(nn.Module):
                      name="ffn1")(s)
         h = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                      name="ffn2")(nn.relu(h))
-        return nn.LayerNorm(param_dtype=jnp.float32, name="norm_channel")(
+        return nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="norm_channel")(
             (s + h).astype(jnp.float32)
         ).astype(self.dtype)
 
@@ -257,7 +257,7 @@ class TrajectoryPointNet(nn.Module):
         for i, c in enumerate((64, 128, 256, 512)):
             x = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                          name=f"conv{i}")(x)
-            x = nn.LayerNorm(param_dtype=jnp.float32, name=f"bn{i}")(
+            x = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name=f"bn{i}")(
                 x.astype(jnp.float32)
             ).astype(self.dtype)
             if i < 3:
@@ -302,14 +302,14 @@ class MPPNetEncoderLayer(nn.Module):
         key = mixed if pos is None else mixed + pos
         upd = MultiHeadAttention(self.hidden, self.heads, dtype=self.dtype,
                                  name="token_attn")(tok, key, mixed)
-        tok = nn.LayerNorm(param_dtype=jnp.float32, name="norm1")(
+        tok = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="norm1")(
             (tok + upd).astype(jnp.float32)
         ).astype(self.dtype)
         h = nn.Dense(self.ffn_hidden, dtype=self.dtype,
                      param_dtype=jnp.float32, name="ffn1")(tok)
         h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
                      name="ffn2")(nn.relu(h))
-        tok = nn.LayerNorm(param_dtype=jnp.float32, name="norm2")(
+        tok = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="norm2")(
             (tok + h).astype(jnp.float32)
         ).astype(self.dtype)
         grp = mixed

@@ -232,7 +232,7 @@ class TransFusionHead(nn.Module):
         )(jnp.broadcast_to(bev_pos[None], (b, h * w, 2)), train)
 
         def _ln(name, t):
-            return nn.LayerNorm(param_dtype=jnp.float32, name=name)(
+            return nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name=name)(
                 t.astype(jnp.float32)
             ).astype(self.dtype)
 

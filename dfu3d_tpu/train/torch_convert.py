@@ -442,6 +442,85 @@ def swin_mapping(depths=(2, 2, 6, 2), out_indices=(1, 2, 3),
     return m
 
 
+def _res_block(m, ours, ref, downsample=False):
+    """reference BasicBlock (base_bev_backbone.py:207-249) → ResConvBlock."""
+    m[("params",) + ours + ("Conv_0", "kernel")] = (f"{ref}.conv1.weight",
+                                                    t_conv2d)
+    _bn(m, ours + ("BatchNorm_0",), f"{ref}.bn1")
+    m[("params",) + ours + ("Conv_1", "kernel")] = (f"{ref}.conv2.weight",
+                                                    t_conv2d)
+    _bn(m, ours + ("BatchNorm_1",), f"{ref}.bn2")
+    if downsample:
+        m[("params",) + ours + ("shortcut", "kernel")] = (
+            f"{ref}.downsample_layer.0.weight", t_conv2d)
+        _bn(m, ours + ("shortcut_bn",), f"{ref}.downsample_layer.1")
+
+
+def _deblock(m, ours, ref):
+    """deblock = [ConvT|Conv, BN, ReLU]; both alternatives are emitted and
+    apply_mapping keeps whichever matches the flax tree."""
+    m[("params",) + ours + ("ConvTranspose_0", "kernel")] = (
+        f"{ref}.0.weight", t_convtranspose2d)
+    m[("params",) + ours + ("Conv_0", "kernel")] = (f"{ref}.0.weight",
+                                                    t_conv2d)
+    _bn(m, ours + ("BatchNorm_0",), f"{ref}.1")
+
+
+def bev_res_backbone_mapping(layer_nums=(1, 2, 2),
+                             ours_prefix=("backbone_2d",),
+                             ref_prefix="backbone_2d"
+                             ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for BaseBEVResBackbone (base_bev_backbone.py:252-330):
+    blocks.{i} = [BasicBlock(downsample=True), BasicBlock × layer_nums[i]]."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    p = tuple(ours_prefix)
+    for i, n in enumerate(layer_nums):
+        _res_block(m, p + (f"block{i}_down",), f"{ref_prefix}.blocks.{i}.0",
+                   downsample=True)
+        for j in range(n):
+            _res_block(m, p + (f"block{i}_res{j}",),
+                       f"{ref_prefix}.blocks.{i}.{j + 1}")
+        _deblock(m, p + (f"deblock{i}",), f"{ref_prefix}.deblocks.{i}")
+    return m
+
+
+def bev_v1_backbone_mapping(layer_nums=(5, 5),
+                            ours_prefix=("backbone_2d",),
+                            ref_prefix="backbone_2d"
+                            ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for BaseBEVBackboneV1 (base_bev_backbone.py:115-204):
+    blocks.{i} = [ZeroPad, Conv, BN, ReLU, (Conv, BN, ReLU) × layer_nums[i]]."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    p = tuple(ours_prefix)
+    for i, n in enumerate(layer_nums):
+        _conv(m, p + (f"block{i}_in", "Conv_0"), f"{ref_prefix}.blocks.{i}.1")
+        _bn(m, p + (f"block{i}_in", "BatchNorm_0"),
+            f"{ref_prefix}.blocks.{i}.2")
+        for j in range(n):
+            _conv(m, p + (f"block{i}_conv{j}", "Conv_0"),
+                  f"{ref_prefix}.blocks.{i}.{4 + 3 * j}")
+            _bn(m, p + (f"block{i}_conv{j}", "BatchNorm_0"),
+                f"{ref_prefix}.blocks.{i}.{5 + 3 * j}")
+        _deblock(m, p + (f"deblock{i}",), f"{ref_prefix}.deblocks.{i}")
+    return m
+
+
+def lss_fpn_mapping(num_levels=3, ours_prefix=("image_neck",),
+                    ref_prefix="image_neck"
+                    ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for GeneralizedLSSFPN (reference generalized_lss.py:
+    lateral_convs/fpn_convs of BasicBlock2D = conv+BN+ReLU). num_levels is
+    the number of INPUT levels; n−1 processed levels carry convs."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    p = tuple(ours_prefix)
+    for i in range(num_levels - 1):
+        _conv(m, p + (f"lateral{i}",), f"{ref_prefix}.lateral_convs.{i}.conv")
+        _bn(m, p + (f"lateral_bn{i}",), f"{ref_prefix}.lateral_convs.{i}.bn")
+        _conv(m, p + (f"fpn{i}",), f"{ref_prefix}.fpn_convs.{i}.conv")
+        _bn(m, p + (f"fpn_bn{i}",), f"{ref_prefix}.fpn_convs.{i}.bn")
+    return m
+
+
 def deeplab_ddn_mapping(layers=(3, 4, 23, 3), ours_prefix=(),
                         torch_prefix="") -> Dict[Tuple, Tuple[str, Callable]]:
     """Key mapping for DDNDeepLabV3 (models/image/deeplab.py) from the

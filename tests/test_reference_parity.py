@@ -574,6 +574,214 @@ class TestTransFusionHeadParity:
             self._take(labels, perm), ref_labels + 1)
 
 
+class TestSwinParity:
+    """Feature-map parity for the camera backbone: the reference's own
+    SwinTransformer (backbones_image/swin.py — the mmdet port, pure torch)
+    vs models/image/swin.py through train/torch_convert.swin_mapping.
+    Covers the relative-position-bias indexing, cyclic-shift attention
+    masks, patch merging (input-ordering permutation _patchmerge_perm) and
+    per-stage output norms on a 2-stage tiny config."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        from pcdet.models.backbones_image.swin import (
+            SwinTransformer as RefSwin,
+        )
+
+        cfg = EDict(dict(
+            EMBED_DIMS=8, DEPTHS=[2, 2], NUM_HEADS=[2, 2], WINDOW_SIZE=4,
+            PATCH_SIZE=4, MLP_RATIO=4, DROP_RATE=0.0, ATTN_DROP_RATE=0.0,
+            DROP_PATH_RATE=0.0, OUT_INDICES=[0, 1], PATCH_NORM=True,
+        ))
+        torch.manual_seed(4)
+        container = torch.nn.Module()
+        with no_cuda():
+            container.image_backbone = RefSwin(cfg)
+        with torch.no_grad():
+            for p in container.parameters():
+                p.normal_(0.0, 0.05)
+        container.eval()
+        imgs = torch.randn(1, 1, 3, 64, 64)
+        with torch.no_grad():
+            bd = container.image_backbone({"camera_imgs": imgs})
+        return container, imgs, bd["image_features"]
+
+    def test_stage_features_equality(self, setup):
+        from dfu3d_tpu.models.image.swin import SwinTransformer
+
+        container, imgs, ref_outs = setup
+        model = SwinTransformer(embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+                                window_size=4, patch_size=4,
+                                out_indices=(0, 1))
+        x = jnp.asarray(imgs.numpy()[0].transpose(0, 2, 3, 1))  # (N, H, W, 3)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+        state = {k: v.numpy() for k, v in container.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.swin_mapping(
+                depths=(2, 2), out_indices=(0, 1),
+                prefix="image_backbone", ours_prefix=())
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        assert not report["unmatched_ours"], report["unmatched_ours"]
+        outs = model.apply(new_vars, x)
+        assert len(outs) == len(ref_outs) == 2
+        for i, (ours, ref) in enumerate(zip(outs, ref_outs)):
+            np.testing.assert_allclose(
+                np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+                rtol=1e-4, atol=1e-5, err_msg=f"stage {i}",
+            )
+
+
+class TestLSSFPNParity:
+    """Feature parity for the camera neck: the reference's own
+    GeneralizedLSSFPN (img_neck/generalized_lss.py — raw coarsest level
+    concatenated at the top, processed levels cascaded below, n−1 outputs)
+    vs models/image/fpn.py through train/torch_convert.lss_fpn_mapping."""
+
+    def test_fpn_outputs_equality(self, ref_modules):
+        from pcdet.models.backbones_image.img_neck.generalized_lss import (
+            GeneralizedLSSFPN as RefFPN,
+        )
+
+        from dfu3d_tpu.models.image.fpn import GeneralizedLSSFPN
+
+        cfg = EDict(dict(IN_CHANNELS=[8, 16, 32], OUT_CHANNELS=16,
+                         NUM_OUTS=2, START_LEVEL=0, END_LEVEL=-1))
+        torch.manual_seed(5)
+        container = torch.nn.Module()
+        with no_cuda():
+            container.image_neck = RefFPN(cfg)
+        with torch.no_grad():
+            for p in container.parameters():
+                p.normal_(0.0, 0.1)
+        _randomize_bn(container)
+        container.eval()
+
+        feats_t = [torch.randn(2, c, s, s) for c, s in
+                   zip([8, 16, 32], [16, 8, 4])]
+        with torch.no_grad():
+            bd = container.image_neck({"image_features": list(feats_t)})
+        ref_outs = bd["image_fpn"]
+
+        model = GeneralizedLSSFPN(in_channels=(8, 16, 32), out_channels=16,
+                                  num_outs=2)
+        feats = [jnp.asarray(f.numpy().transpose(0, 2, 3, 1))
+                 for f in feats_t]
+        variables = model.init({"params": jax.random.PRNGKey(0)}, feats)
+        state = {k: v.numpy() for k, v in container.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.lss_fpn_mapping(num_levels=3,
+                                                 ours_prefix=())
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        assert not report["unmatched_ours"], report["unmatched_ours"]
+        outs = model.apply(new_vars, feats)
+        assert len(outs) == len(ref_outs) == 2
+        for i, (ours, ref) in enumerate(zip(outs, ref_outs)):
+            np.testing.assert_allclose(
+                np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+                rtol=1e-4, atol=1e-5, err_msg=f"level {i}",
+            )
+
+
+class TestBEVBackboneVariantsParity:
+    """Feature parity for the 2D backbone variants against the reference's
+    own modules: BaseBEVResBackbone (BasicBlock residuals with forced
+    conv+BN shortcuts on level-leading blocks) and BaseBEVBackboneV1 (the
+    PillarNet/DSVT neck whose blocks[0] refines the deblock CONCAT,
+    base_bev_backbone.py:182-204), through bev_res_backbone_mapping /
+    bev_v1_backbone_mapping."""
+
+    def test_res_backbone_equality(self, ref_modules):
+        from pcdet.models.backbones_2d.base_bev_backbone import (
+            BaseBEVResBackbone as RefRes,
+        )
+
+        from dfu3d_tpu.models.backbone_2d import BaseBEVResBackbone
+
+        cfg = EDict(dict(LAYER_NUMS=[1, 2], LAYER_STRIDES=[1, 2],
+                         NUM_FILTERS=[16, 32], UPSAMPLE_STRIDES=[1, 2],
+                         NUM_UPSAMPLE_FILTERS=[16, 16]))
+        torch.manual_seed(6)
+        container = torch.nn.Module()
+        with no_cuda():
+            container.backbone_2d = RefRes(cfg, input_channels=16)
+        with torch.no_grad():
+            for p in container.parameters():
+                p.normal_(0.0, 0.1)
+        _randomize_bn(container)
+        container.eval()
+        feats = torch.randn(2, 16, 16, 16)
+        with torch.no_grad():
+            bd = container.backbone_2d(
+                {"spatial_features": feats, "batch_size": 2})
+
+        model = BaseBEVResBackbone(
+            layer_nums=(1, 2), layer_strides=(1, 2), num_filters=(16, 32),
+            upsample_strides=(1, 2), num_upsample_filters=(16, 16))
+        x = jnp.asarray(feats.numpy().transpose(0, 2, 3, 1))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, False)
+        state = {k: v.numpy() for k, v in container.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.bev_res_backbone_mapping(
+                layer_nums=(1, 2), ours_prefix=())
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        assert not report["unmatched_ours"], report["unmatched_ours"]
+        out = model.apply(new_vars, x, False)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            bd["spatial_features_2d"].numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_v1_backbone_equality(self, ref_modules):
+        from pcdet.models.backbones_2d.base_bev_backbone import (
+            BaseBEVBackboneV1 as RefV1,
+        )
+
+        from dfu3d_tpu.models.backbone_2d import BaseBEVBackboneV1
+
+        cfg = EDict(dict(LAYER_NUMS=[5, 5], NUM_FILTERS=[16, 8],
+                         UPSAMPLE_STRIDES=[1, 2],
+                         NUM_UPSAMPLE_FILTERS=[8, 8]))
+        torch.manual_seed(7)
+        container = torch.nn.Module()
+        with no_cuda():
+            container.backbone_2d = RefV1(cfg)
+        with torch.no_grad():
+            for p in container.parameters():
+                p.normal_(0.0, 0.1)
+        _randomize_bn(container)
+        container.eval()
+        x4 = torch.randn(2, 16, 16, 16)
+        x5 = torch.randn(2, 8, 8, 8)
+        with torch.no_grad():
+            bd = container.backbone_2d({"multi_scale_2d_features": {
+                "x_conv4": x4, "x_conv5": x5}})
+
+        model = BaseBEVBackboneV1(
+            layer_nums=(5, 5), num_filters=(16, 8), upsample_strides=(1, 2),
+            num_upsample_filters=(8, 8))
+        feats = [jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+                 for t in (x4, x5)]
+        variables = model.init({"params": jax.random.PRNGKey(0)}, feats,
+                               False)
+        state = {k: v.numpy() for k, v in container.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.bev_v1_backbone_mapping(
+                layer_nums=(5, 5), ours_prefix=())
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        assert not report["unmatched_ours"], report["unmatched_ours"]
+        out = model.apply(new_vars, feats, False)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            bd["spatial_features_2d"].numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
 class TestReferenceLogitsParity:
     @pytest.fixture(scope="class")
     def setup(self, ref_modules):

@@ -52,10 +52,12 @@ class TestBEVVariants:
     def test_v1_multi_scale(self):
         from dfu3d_tpu.models.backbone_2d import BaseBEVBackboneV1
 
-        m = BaseBEVBackboneV1(layer_nums=[2, 2], num_filters=[16, 32],
+        # reference constraint: NUM_FILTERS[0] == sum(NUM_UPSAMPLE_FILTERS)
+        # (blocks[0] refines the deblock concat, base_bev_backbone.py:202)
+        m = BaseBEVBackboneV1(layer_nums=[2, 2], num_filters=[32, 32],
                               upsample_strides=[1, 2],
                               num_upsample_filters=[16, 16])
-        maps = [jnp.zeros((1, 32, 32, 16)), jnp.zeros((1, 16, 16, 32))]
+        maps = [jnp.zeros((1, 32, 32, 32)), jnp.zeros((1, 16, 16, 32))]
         v = m.init(jax.random.PRNGKey(0), maps, False)
         out = m.apply(v, maps, False)
         assert out.shape == (1, 32, 32, 32)
