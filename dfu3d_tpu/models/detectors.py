@@ -235,25 +235,7 @@ class SECONDNetIoU(SECONDNet):
         c = super().cfg
         c.DENSE_HEAD["USE_IOU_HEAD"] = True
         return c
-class PillarNet(CenterPoint):
-    """PillarNet (reference detectors/pillarnet.py + backbones_3d
-    spconv2d PillarRes18BackBone8x): pillar features refined by a sparse
-    2D conv pyramid before the dense BEV neck + CenterHead. Expressed here
-    as the sparse-backbone CenterPoint on an nz=1 pillar grid — the 3×3×3
-    submanifold kernels degenerate to 3×3 2D sparse convs on pillars, which
-    is exactly the reference's sparse-2D formulation."""
-
-    def setup(self):
-        assert self.grid.grid_size[2] == 1, (
-            "PillarNet needs a pillar grid (nz == 1); got "
-            f"{self.grid.grid_size}"
-        )
-        super().setup()
-        assert self._use_voxel_backbone and not self._use_dsvt, (
-            "PillarNet config must set BACKBONE_3D (sparse 2D pyramid)"
-        )
-
-
+from .pillarnet import PillarNet  # noqa: E402
 from .pointrcnn import PointRCNN  # noqa: E402
 from .voxelnext import VoxelNeXt  # noqa: E402
 from .parta2 import PartA2Net  # noqa: E402

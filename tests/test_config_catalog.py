@@ -156,6 +156,8 @@ SMOKE_CONFIGS = [
     "nuscenes_models/cbgs_voxel0075_voxelnext_doubleflip.yaml",
     "waymo_models/voxelnext_ioubranch_large.yaml",
     "waymo_models/dsvt_pillar.yaml",
+    "kitti_models/pillarnet.yaml",   # Simple2D VFE + 2D-sparse + V1 + anchors
+    "waymo_models/pillarnet.yaml",   # PillarRes18 + V1 + CenterHead
     "waymo_models/mppnet_4frames.yaml",
     "once_models/second.yaml",
 ]
