@@ -124,7 +124,13 @@ class _PillarNetFeaturesMixin:
                 dtype=self.dtype,
             )
         bb3d = cfg.get("BACKBONE_3D", {})
-        self.backbone_3d = VoxelBackBone8x(
+        # PillarRes18BackBone8x (spconv_backbone_2d.py:207) uses residual
+        # SparseBasicBlocks; PillarBackBone8x plain post-act blocks
+        from .sparse_backbone import VoxelResBackBone8x
+
+        bb_cls = (VoxelResBackBone8x
+                  if "Res" in bb3d.get("NAME", "") else VoxelBackBone8x)
+        self.backbone_3d = bb_cls(
             grid=SparseGrid(nx, ny, nz),
             voxel_cap=self.max_voxels,
             channels=tuple(bb3d.get("CHANNELS", (32, 32, 64, 128, 256))),
