@@ -505,6 +505,54 @@ def bev_v1_backbone_mapping(layer_nums=(5, 5),
     return m
 
 
+def enet_mapping(ours_prefix=(), ref_prefix=""
+                 ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for the PENet ENet depth-completion net
+    (tools/PENet/model.py:3-234 → models/penet_ref.ENetRef): conv/deconv
+    Sequential pairs plus the geo-conditioned BasicBlockGeo encoders whose
+    leading/downsampling blocks carry a conv+BN shortcut."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    p = tuple(ours_prefix)
+    r = ref_prefix
+
+    def seq(ours, ref, transpose=False):
+        m[("params",) + p + (ours, "conv", "kernel")] = (
+            f"{r}{ref}.0.weight",
+            t_convtranspose2d if transpose else t_conv2d)
+        _bn(m, p + (ours, "bn"), f"{r}{ref}.1")
+
+    def geo_block(ours, ref, has_down):
+        m[("params",) + p + (ours, "conv1", "kernel")] = (
+            f"{r}{ref}.conv1.weight", t_conv2d)
+        _bn(m, p + (ours, "bn1"), f"{r}{ref}.bn1")
+        m[("params",) + p + (ours, "conv2", "kernel")] = (
+            f"{r}{ref}.conv2.weight", t_conv2d)
+        _bn(m, p + (ours, "bn2"), f"{r}{ref}.bn2")
+        if has_down:
+            m[("params",) + p + (ours, "down_conv", "kernel")] = (
+                f"{r}{ref}.downsample.0.weight", t_conv2d)
+            _bn(m, p + (ours, "down_bn"), f"{r}{ref}.downsample.1")
+
+    from ..models.penet_ref import DEPTH_LAYERS, RGB_LAYERS
+
+    seq("rgb_conv_init", "rgb_conv_init")
+    seq("depth_conv_init", "depth_conv_init")
+    for i, (inp, out, st) in enumerate(RGB_LAYERS, start=1):
+        geo_block(f"rgb_encoder_layer{i}", f"rgb_encoder_layer{i}",
+                  st != 1 or inp != out)
+    for i, (inp, out, st) in enumerate(DEPTH_LAYERS, start=1):
+        geo_block(f"depth_layer{i}", f"depth_layer{i}",
+                  st != 1 or inp != out)
+    for lvl in (8, 6, 4, 2, 0):
+        seq(f"rgb_decoder_layer{lvl}", f"rgb_decoder_layer{lvl}",
+            transpose=True)
+    seq("rgb_decoder_output", "rgb_decoder_output", transpose=True)
+    for j in range(1, 6):
+        seq(f"decoder_layer{j}", f"decoder_layer{j}", transpose=True)
+    seq("decoder_layer6", "decoder_layer6")
+    return m
+
+
 def lss_fpn_mapping(num_levels=3, ours_prefix=("image_neck",),
                     ref_prefix="image_neck"
                     ) -> Dict[Tuple, Tuple[str, Callable]]:

@@ -782,6 +782,79 @@ class TestBEVBackboneVariantsParity:
         )
 
 
+class TestENetParity:
+    """Depth-map parity for the pseudo-label factory's depth-completion
+    backbone: the reference's own PENet ENet (tools/PENet/model.py:3-234,
+    pure torch) vs models/penet_ref.ENetRef through
+    train/torch_convert.enet_mapping. Covers the geo-conditioned
+    BasicBlockGeo concat orders ((x, g1) then (g2, out)), the sparse
+    nearest-depth downsampling pyramid, the hardcoded 352×1216 geometry
+    unprojection, both encoder/decoder ladders and the confidence-softmax
+    fusion."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import sys
+        import types
+
+        sys.path.insert(0, "/root/reference/tools/PENet")
+        from model import ENet as RefENet
+
+        args = types.SimpleNamespace(
+            convolutional_layer_encoding="xyz", network_model="e",
+            dilation_rate=1,
+        )
+        torch.manual_seed(8)
+        with no_cuda():
+            ref = RefENet(args)
+        with torch.no_grad():
+            for p in ref.parameters():
+                p.normal_(0.0, 0.02)
+        _randomize_bn(ref)
+        ref.eval()
+
+        rng = np.random.RandomState(9)
+        rgb = rng.rand(1, 3, 64, 64).astype(np.float32)
+        d = rng.rand(1, 1, 64, 64).astype(np.float32) * 20.0
+        d[rng.rand(*d.shape) > 0.06] = 0.0  # sparse lidar projection
+        u, v = np.meshgrid(np.linspace(-1, 1, 64), np.linspace(-1, 1, 64))
+        position = np.stack([u, v])[None].astype(np.float32)
+        K = np.array([[[721.0, 0, 609.0], [0, 721.0, 172.0],
+                       [0, 0, 1.0]]], np.float32)
+        with torch.no_grad(), no_cuda():
+            rgb_depth, d_depth, output = ref({
+                "rgb": torch.tensor(rgb), "d": torch.tensor(d),
+                "position": torch.tensor(position), "K": torch.tensor(K),
+            })
+        return ref, (rgb, d, position, K), (rgb_depth, d_depth, output)
+
+    def test_depth_outputs_equality(self, setup):
+        from dfu3d_tpu.models.penet_ref import ENetRef
+
+        ref, (rgb, d, position, K), ref_out = setup
+        model = ENetRef()
+        args = (
+            jnp.asarray(rgb.transpose(0, 2, 3, 1)),
+            jnp.asarray(d.transpose(0, 2, 3, 1)),
+            jnp.asarray(position.transpose(0, 2, 3, 1)),
+            jnp.asarray(K),
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, *args)
+        state = {k: v.numpy() for k, v in ref.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.enet_mapping()
+        )
+        assert not report["missing_in_torch"], report["missing_in_torch"][:6]
+        assert not report["unmatched_ours"], report["unmatched_ours"][:6]
+        out = model.apply(new_vars, *args)
+        for name, ref_t in zip(("rgb_depth", "d_depth", "output"), ref_out):
+            np.testing.assert_allclose(
+                np.asarray(out[name]),
+                ref_t.numpy().transpose(0, 2, 3, 1),
+                rtol=1e-3, atol=1e-4, err_msg=name,
+            )
+
+
 class TestReferenceLogitsParity:
     @pytest.fixture(scope="class")
     def setup(self, ref_modules):

@@ -40,6 +40,16 @@ def main():
                         help="trained ENet checkpoint (untrained weights give "
                              "placeholder depth — train first or use an "
                              "external metric-depth model)")
+    parser.add_argument("--model", type=str, default="enet",
+                        choices=["enet", "enet_ref"],
+                        help="enet: compact TPU-first net; enet_ref: the "
+                             "reference-exact PENet ENet (models/penet_ref) "
+                             "that loads released e.pth.tar/pe.pth.tar "
+                             "checkpoints via --torch_ckpt")
+    parser.add_argument("--torch_ckpt", type=str, default=None,
+                        help="released PENet torch checkpoint to convert "
+                             "through train/torch_convert.enet_mapping "
+                             "(requires --model enet_ref)")
     parser.add_argument("--height", type=int, default=352)
     parser.add_argument("--width", type=int, default=1216)
     parser.add_argument("--start", type=int, default=0)
@@ -61,12 +71,30 @@ def main():
     ids = sorted(p.stem for p in (root / "velodyne").glob("*.bin"))
     ids = ids[args.start : args.end]
 
-    model = ENet(dtype=jnp.bfloat16)
     h, w = args.height, args.width
+    use_ref = args.model == "enet_ref"
+    if use_ref:
+        from dfu3d_tpu.models.penet_ref import ENetRef
+
+        model = ENetRef(dtype=jnp.bfloat16)
+        # CoordConv position plane (reference CoordConv.AddCoordsNp: u then
+        # v, each normalized to [-1, 1] over the crop)
+        uu, vv = np.meshgrid(np.linspace(-1, 1, w, dtype=np.float32),
+                             np.linspace(-1, 1, h, dtype=np.float32))
+        position = jnp.asarray(np.stack([uu, vv], axis=-1)[None])
+    else:
+        model = ENet(dtype=jnp.bfloat16)
     variables = None
 
     @jax.jit
     def run(variables, rgb, sd, cu, cv, fu, fv):
+        if use_ref:
+            K = jnp.asarray(
+                [[[fu, 0.0, cu], [0.0, fv, cv], [0.0, 0.0, 1.0]]],
+                jnp.float32,
+            )
+            out = model.apply(variables, rgb, sd, position, K, train=False)
+            return out["output"]  # (B, H, W, 1), like the compact net
         fused, _, _ = model.apply(variables, rgb, sd, cu, cv, fu, fv,
                                   train=False)
         return fused
@@ -87,11 +115,34 @@ def main():
         rgb_in = jnp.asarray(img_c[None])
         sd_in = jnp.asarray(sd[None, ..., None])
         if variables is None:
-            variables = model.init(
-                {"params": jax.random.PRNGKey(0)}, rgb_in, sd_in,
-                calib.cu, calib.cv, calib.fu, calib.fv, train=False,
-            )
-            if args.ckpt:
+            if use_ref:
+                K0 = jnp.asarray(
+                    [[[calib.fu, 0.0, calib.cu - left],
+                      [0.0, calib.fv, calib.cv - top],
+                      [0.0, 0.0, 1.0]]], jnp.float32)
+                variables = jax.jit(
+                    lambda r, s: model.init({"params": jax.random.PRNGKey(0)},
+                                            r, s, position, K0, train=False)
+                )(rgb_in, sd_in)
+            else:
+                variables = model.init(
+                    {"params": jax.random.PRNGKey(0)}, rgb_in, sd_in,
+                    calib.cu, calib.cv, calib.fu, calib.fv, train=False,
+                )
+            if args.torch_ckpt:
+                assert use_ref, "--torch_ckpt needs --model enet_ref"
+                from dfu3d_tpu.train import torch_convert as tc
+
+                state = tc.load_torch_checkpoint(args.torch_ckpt)
+                variables, report = tc.apply_mapping(
+                    variables, state, tc.enet_mapping()
+                )
+                logger.info(
+                    f"converted {len(report['converted'])} tensors from "
+                    f"{args.torch_ckpt} "
+                    f"(missing: {len(report['missing_in_torch'])})"
+                )
+            elif args.ckpt:
                 import orbax.checkpoint as ocp
 
                 restored = ocp.PyTreeCheckpointer().restore(
