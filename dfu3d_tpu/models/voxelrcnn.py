@@ -3,12 +3,13 @@ voxel stages — no keypoints (reference: pcdet/models/detectors/voxel_rcnn.py +
 roi_heads/voxelrcnn_head.py + ops voxel_query, SURVEY §2.1 N5).
 
 TPU redesign on this repo's primitives: SECOND-style sparse encoder → BEV
-anchor RPN; RoI head places a G³ grid in each proposal and aggregates each
-grid point from the active voxels of several encoder stages by ball query
-over voxel centers (the voxel_query radius semantics) with a shared MLP +
-max-pool per stage — multi-scale "neighbor aggregation" — then FC cls/reg
-refinement. RoI subsampling is masked loss weighting (static shapes), as in
-the other RoI heads here.
+anchor RPN; RoI head is the reference-exact VoxelRCNNHead — per-stage
+NeighborVoxelSA grid pooling (voxel_query → ball query over voxel centers),
+grid-major flattened FC refinement (SHARED_FC → CLS_FC/REG_FC + pred
+layers), ProposalTargetLayer subsampling to ROI_PER_IMAGE with soft roi_iou
+cls labels, canonical-frame reg targets + corner loss, and the canonical
+decode — all via models/roi_head.py (parity-tested vs the reference's own
+torch template).
 """
 from __future__ import annotations
 
@@ -16,16 +17,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..core.geometry.boxes import rotate_points_along_z
-from ..core.geometry.iou import pairwise_iou3d
-from ..core.geometry.nms import nms_bev
 from ..core.voxel import dynamic_voxelize
 from ..core.voxel.sparse_ops import SparseGrid
-from . import losses
-from .anchor_head import decode_anchor_predictions, decode_boxes, encode_boxes
-from .pointnet2_backbone import SharedMLP
+from . import roi_head
+from .anchor_head import decode_anchor_predictions
 from .pointpillar import AnchorDetectorBase
-from .pvrcnn import SAFromSource
+from .roi_head import (
+    NeighborVoxelSA,
+    roi_head_loss_cfg,
+    roi_head_target_cfg,
+    shared_fc_stack,
+)
 from .sparse_backbone import SparseEncoder, height_compression, voxel_centers_of
 
 
@@ -75,24 +77,48 @@ class VoxelRCNN(AnchorDetectorBase):
                 dtype=self.dtype,
             )
         rh = cfg.get("ROI_HEAD", {})
-        self.num_rois = int(rh.get("NMS_POST_MAXSIZE", 64))
-        self.roi_pre_max = int(rh.get("NMS_PRE_MAXSIZE", 1024))
-        self.roi_nms_thresh = float(rh.get("NMS_THRESH", 0.8))
-        self.roi_grid = int(rh.get("GRID_SIZE", 6))
-        # per-stage voxel-query pools (reference POOL_LAYERS x_conv2..4)
-        self.pool_stages = tuple(rh.get("POOL_STAGES", (1, 2, 3)))
-        radii = rh.get("POOL_RADII", (0.4, 0.8, 1.6))
-        mlp = tuple(rh.get("GRID_MLP", (32, 32)))
-        ns = int(rh.get("GRID_NSAMPLE", 16))
-        self.stage_pools = [
-            SAFromSource(radius=float(r), nsample=ns, mlp=mlp,
-                         dtype=self.dtype, name=f"pool_stage{s}")
-            for s, r in zip(self.pool_stages, radii)
-        ]
-        self.roi_fc = SharedMLP(tuple(rh.get("FC", (128, 128))),
-                                dtype=self.dtype, name="roi_fc")
-        self.roi_cls = nn.Dense(1, param_dtype=jnp.float32, name="roi_cls")
-        self.roi_reg = nn.Dense(7, param_dtype=jnp.float32, name="roi_reg")
+        pool_cfg = rh.get("ROI_GRID_POOL", None)
+        if pool_cfg is not None:
+            # reference schema (voxelrcnn_head.py:12-33): one
+            # NeighborVoxelSAModuleMSG per FEATURES_SOURCE stage
+            self.roi_grid = int(pool_cfg.get("GRID_SIZE", 6))
+            stage_idx = {"x_conv1": 0, "x_conv2": 1, "x_conv3": 2,
+                         "x_conv4": 3}
+            sources = list(pool_cfg["FEATURES_SOURCE"])
+            self.pool_stages = tuple(stage_idx[s] for s in sources)
+            layers = pool_cfg["POOL_LAYERS"]
+            self.stage_pools = [
+                NeighborVoxelSA(
+                    mlp_spec=tuple(layers[s]["MLPS"][0]),
+                    radius=float(layers[s]["POOL_RADIUS"][0]),
+                    nsample=int(layers[s]["NSAMPLE"][0]),
+                    pool_method=layers[s].get("POOL_METHOD", "max_pool"),
+                    dtype=self.dtype, name=f"pool_{s}",
+                )
+                for s in sources
+            ]
+        else:  # legacy compact schema
+            self.roi_grid = int(rh.get("GRID_SIZE", 6))
+            self.pool_stages = tuple(rh.get("POOL_STAGES", (1, 2, 3)))
+            radii = rh.get("POOL_RADII", (0.4, 0.8, 1.6))
+            mlp = tuple(rh.get("GRID_MLP", (32, 32)))
+            ns = int(rh.get("GRID_NSAMPLE", 16))
+            self.stage_pools = [
+                NeighborVoxelSA(mlp_spec=mlp, radius=float(r), nsample=ns,
+                                dtype=self.dtype, name=f"pool_stage{s}")
+                for s, r in zip(self.pool_stages, radii)
+            ]
+        # FC head (voxelrcnn_head.py:40-79: Linear stacks + pred layers)
+        dp = float(rh.get("DP_RATIO", 0.3))
+        self.shared_fc = shared_fc_stack(
+            tuple(rh.get("SHARED_FC", rh.get("FC", (256, 256)))), dp,
+            dtype=self.dtype, name="shared_fc")
+        self.cls_fc = shared_fc_stack(tuple(rh.get("CLS_FC", (256, 256))),
+                                      dp, dtype=self.dtype, name="cls_fc")
+        self.reg_fc = shared_fc_stack(tuple(rh.get("REG_FC", (256, 256))),
+                                      dp, dtype=self.dtype, name="reg_fc")
+        self.cls_pred = nn.Dense(1, param_dtype=jnp.float32, name="cls_pred")
+        self.reg_pred = nn.Dense(7, param_dtype=jnp.float32, name="reg_pred")
         self._setup_backbone2d(cfg)
         self._setup_anchors(cfg)
 
@@ -165,37 +191,20 @@ class VoxelRCNN(AnchorDetectorBase):
     def _features(self, batch, train: bool):
         return self._backbone(batch, train)[0]
 
-    def _proposals(self, rpn_preds):
+    def _proposals(self, rpn_preds, train: bool):
         boxes, cls_scores = decode_anchor_predictions(
             rpn_preds, jnp.asarray(self._anchors_flat), len(self.class_names)
         )
-        scores = jnp.max(cls_scores, axis=-1)
-
-        def one(bx, sc):
-            sel, keep = nms_bev(
-                bx, sc, self.roi_nms_thresh,
-                pre_max=min(self.roi_pre_max, bx.shape[0]),
-                post_max=self.num_rois,
-            )
-            return bx[sel], jnp.where(keep, sc[sel], 0.0), keep
-
-        return jax.vmap(one)(jax.lax.stop_gradient(boxes),
-                             jax.lax.stop_gradient(scores))
+        nms_cfg = roi_head.resolve_nms_cfg(self.cfg.get("ROI_HEAD", {}), train)
+        return roi_head.proposal_layer(boxes, cls_scores, nms_cfg)
 
     def _roi_grid_pool(self, rois, roi_valid, stages, train: bool):
         """G³ grid points per RoI ← multi-scale voxel-center aggregation
-        (voxelrcnn_head.py roi_grid_pool: voxel_query + grouping per stage)."""
+        (voxelrcnn_head.py roi_grid_pool:106-191), then the reference FC
+        refinement (grid-major flatten matching `pooled_features.view(N,-1)`
+        on the (BN, g³, C) layout, voxelrcnn_head.py:232-238)."""
         g = self.roi_grid
-        lin = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g - 0.5
-        gz, gy, gx = jnp.meshgrid(lin, lin, lin, indexing="ij")
-        unit = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-
-        def grid_one(r):
-            local = unit[None, :, :] * r[:, None, 3:6]
-            rot = rotate_points_along_z(local, r[:, 6])
-            return rot + r[:, None, 0:3]
-
-        grid_pts = jax.vmap(grid_one)(rois)  # (B, R, g³, 3)
+        grid_pts = roi_head.global_grid_points(rois[..., :7], g)
         b, r = grid_pts.shape[0], grid_pts.shape[1]
         flat_pts = grid_pts.reshape(b, r * g**3, 3)
         flat_valid = jnp.repeat(roi_valid, g**3, axis=1)
@@ -213,18 +222,20 @@ class VoxelRCNN(AnchorDetectorBase):
                      st.features.astype(jnp.float32), st.valid, train)
             )
         pooled = jnp.concatenate(parts, axis=-1)  # (B, R·g³, ΣC)
-        pooled = pooled.reshape(b, r, g**3 * pooled.shape[-1])
-        h = self.roi_fc(pooled, roi_valid[..., None], train)
-        cls = self.roi_cls(h)[..., 0].astype(jnp.float32)
-        reg = self.roi_reg(h).astype(jnp.float32)
-        return cls, reg
+        pooled = pooled.reshape(b * r, g**3 * pooled.shape[-1])
+        h = self.shared_fc(pooled, train)
+        cls = self.cls_pred(self.cls_fc(h, train))
+        reg = self.reg_pred(self.reg_fc(h, train))
+        return (cls.reshape(b, r).astype(jnp.float32),
+                reg.reshape(b, r, 7).astype(jnp.float32))
 
     def __call__(self, batch, train: bool = True):
         from .anchor_head import anchor_head_loss
 
         rpn_preds, stages, focal_loss = self._backbone(batch, train)
         targets = self.assign_targets(batch.gt_boxes, batch.gt_valid)
-        lw = self.cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
+        cfg = self.cfg
+        lw = cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
         total, tb = anchor_head_loss(
             rpn_preds, targets, jnp.asarray(self._anchors_flat),
             len(self.class_names),
@@ -232,49 +243,40 @@ class VoxelRCNN(AnchorDetectorBase):
              "dir_weight": lw.get("dir_weight", 0.2),
              "code_weights": lw.get("code_weights", None)},
         )
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
-        rcnn_cls, rcnn_reg = self._roi_grid_pool(rois, roi_valid, stages, train)
-
-        def roi_iou_one(rr, rv, gt, gv):
-            iou = pairwise_iou3d(rr[:, :7], gt[:, :7])
-            iou = jnp.where(gv[None, :], iou, -1.0)
-            return jnp.max(iou, axis=1), gt[jnp.argmax(iou, axis=1)]
-
-        roi_iou, roi_gt = jax.vmap(roi_iou_one)(
-            rois, roi_valid, batch.gt_boxes, batch.gt_valid
+        rois, roi_scores, roi_labels, _ = self._proposals(rpn_preds, True)
+        rh_cfg = cfg.get("ROI_HEAD", {})
+        key = (self.make_rng("sampler") if self.has_rng("sampler")
+               else jax.random.PRNGKey(0))
+        tgt = roi_head.assign_roi_targets(
+            key, rois, roi_labels, roi_scores, batch.gt_boxes,
+            batch.gt_valid, roi_head_target_cfg(rh_cfg),
         )
-        cls_t = jnp.where(roi_iou > 0.6, 1.0, 0.0)
-        cls_cared = ((roi_iou > 0.6) | (roi_iou < 0.45)) & roi_valid
-        rbce = jnp.clip(rcnn_cls, 0) - rcnn_cls * cls_t + jnp.log1p(
-            jnp.exp(-jnp.abs(rcnn_cls))
+        m = tgt["rois"].shape[1]
+        rcnn_cls, rcnn_reg = self._roi_grid_pool(
+            tgt["rois"], jnp.ones((rois.shape[0], m), bool), stages, train
         )
-        rcnn_cls_loss = jnp.sum(rbce * cls_cared) / jnp.maximum(
-            jnp.sum(cls_cared), 1.0
+        rcnn_loss, rtb = roi_head.roi_head_loss(
+            rcnn_cls, rcnn_reg, tgt, roi_head_loss_cfg(rh_cfg)
         )
-        reg_mask = (roi_iou > 0.55) & roi_valid
-        reg_t = encode_boxes(roi_gt[..., :7], rois[..., :7])
-        rw = reg_mask.astype(jnp.float32)
-        rw = rw / jnp.maximum(jnp.sum(rw, axis=1, keepdims=True), 1.0)
-        rcnn_reg_loss = jnp.sum(
-            losses.weighted_smooth_l1(rcnn_reg, reg_t, rw)
-        ) / batch.points.shape[0]
 
         # loss_box_of_pts from the focal layers (SparseSequentialBatchdict
         # accumulation, spconv_backbone_focal.py:29-37 + get_loss:203-208)
-        total = total + rcnn_cls_loss + rcnn_reg_loss + focal_loss
-        tb.update({"rcnn_cls_loss": rcnn_cls_loss,
-                   "rcnn_reg_loss": rcnn_reg_loss,
+        total = total + rcnn_loss + focal_loss
+        tb.update({"rcnn_cls_loss": rtb["rcnn_loss_cls"],
+                   "rcnn_reg_loss": rtb["rcnn_loss_reg_total"],
                    "loss_box_of_pts": focal_loss})
         return total, tb
 
     def predict(self, batch):
         rpn_preds, stages, _ = self._backbone(batch, train=False)
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        rois, roi_scores, roi_labels, roi_valid = self._proposals(
+            rpn_preds, False
+        )
         rcnn_cls, rcnn_reg = self._roi_grid_pool(
             rois, roi_valid, stages, train=False
         )
-        refined = decode_boxes(rcnn_reg, rois[..., :7])
-        scores = jax.nn.sigmoid(rcnn_cls) * roi_scores
-        scores = jnp.where(roi_valid, scores, 0.0)
-        labels = jnp.ones_like(scores, dtype=jnp.int32)
-        return refined, scores, labels, roi_valid
+        refined = roi_head.generate_predicted_boxes(rois[..., :7], rcnn_reg)
+        scores = jnp.where(roi_valid, jax.nn.sigmoid(rcnn_cls), 0.0)
+        return roi_head.final_nms(
+            refined, scores, roi_labels, roi_valid, self.cfg.POST_PROCESSING
+        )

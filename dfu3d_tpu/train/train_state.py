@@ -49,17 +49,23 @@ def create_train_state(model, example_batch, tx, rng=None):
 def make_train_step(model, tx):
     """Returns train_step(state, batch) → (state, metrics). jit/pjit-ready."""
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, step):
+        # per-step rngs for the RoI target subsampler + FC dropout
+        # (reference ProposalTargetLayer's np.random / nn.Dropout)
+        rngs = {
+            "sampler": jax.random.fold_in(jax.random.PRNGKey(17), step),
+            "dropout": jax.random.fold_in(jax.random.PRNGKey(23), step),
+        }
         (loss, tb), updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch, train=True, mutable=["batch_stats"],
+            batch, train=True, mutable=["batch_stats"], rngs=rngs,
         )
         return loss, (tb, updates["batch_stats"])
 
     def train_step(state: TrainState, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (tb, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, state.step
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -98,14 +98,52 @@ class TestPVRCNNPlusPlus:
             assert np.isfinite(float(tb[k])), k
 
 
+def _pool_layer(radius):
+    return {"MLPS": [[16, 16]], "QUERY_RANGES": [[4, 4, 4]],
+            "POOL_RADIUS": [radius], "NSAMPLE": [8],
+            "POOL_METHOD": "max_pool"}
+
+
 class TestVoxelRCNN:
     def test_loss_grads_predict(self):
+        # reference voxel_rcnn_car.yaml ROI_HEAD schema at test scale
         tb = _two_stage_smoke("VoxelRCNN", {
             "ROI_HEAD": {
-                "NAME": "VoxelRCNNHead", "NMS_PRE_MAXSIZE": 128,
-                "NMS_POST_MAXSIZE": 8, "NMS_THRESH": 0.8, "GRID_SIZE": 4,
-                "GRID_MLP": [16, 16], "FC": [32, 32],
-                "POOL_STAGES": [1, 2, 3], "POOL_RADII": [0.4, 0.8, 1.6],
+                "NAME": "VoxelRCNNHead", "CLASS_AGNOSTIC": True,
+                "SHARED_FC": [32, 32], "CLS_FC": [16], "REG_FC": [16],
+                "DP_RATIO": 0.3,
+                "NMS_CONFIG": {
+                    "TRAIN": {"NMS_PRE_MAXSIZE": 128,
+                              "NMS_POST_MAXSIZE": 32, "NMS_THRESH": 0.8},
+                    "TEST": {"NMS_PRE_MAXSIZE": 128,
+                             "NMS_POST_MAXSIZE": 8, "NMS_THRESH": 0.7},
+                },
+                "ROI_GRID_POOL": {
+                    "GRID_SIZE": 4,
+                    "FEATURES_SOURCE": ["x_conv2", "x_conv3", "x_conv4"],
+                    "POOL_LAYERS": {
+                        "x_conv2": _pool_layer(0.4),
+                        "x_conv3": _pool_layer(0.8),
+                        "x_conv4": _pool_layer(1.6),
+                    },
+                },
+                "TARGET_CONFIG": {
+                    "BOX_CODER": "ResidualCoder", "ROI_PER_IMAGE": 16,
+                    "FG_RATIO": 0.5, "SAMPLE_ROI_BY_EACH_CLASS": True,
+                    "CLS_SCORE_TYPE": "roi_iou", "CLS_FG_THRESH": 0.75,
+                    "CLS_BG_THRESH": 0.25, "CLS_BG_THRESH_LO": 0.1,
+                    "HARD_BG_RATIO": 0.8, "REG_FG_THRESH": 0.55,
+                },
+                "LOSS_CONFIG": {
+                    "CLS_LOSS": "BinaryCrossEntropy",
+                    "REG_LOSS": "smooth-l1",
+                    "CORNER_LOSS_REGULARIZATION": True,
+                    "LOSS_WEIGHTS": {
+                        "rcnn_cls_weight": 1.0, "rcnn_reg_weight": 1.0,
+                        "rcnn_corner_weight": 1.0,
+                        "code_weights": [1.0] * 7,
+                    },
+                },
             },
         })
         for k in ("rcnn_cls_loss", "rcnn_reg_loss"):
