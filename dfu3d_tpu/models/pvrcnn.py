@@ -12,9 +12,12 @@ Capability re-design on this repo's primitives:
   fusion layer).
 * **Predicted Keypoint Weighting**: PointHeadSimple foreground segmentation on
   keypoints; predicted fg scores gate keypoint features (pv_rcnn.py PKW).
-* **PVRCNNHead**: RoI 6³ grid points aggregated from keypoints by ball query
-  + shared MLP + maxpool, FC cls/reg refinement. RoI subsampling is replaced
-  by masked loss weighting (static shapes), as in the other RoI heads here.
+* **PVRCNNHead**: the reference-exact head via models/roi_head.py — RoI 6³
+  grid points aggregated from keypoints by multi-scale ball-query SA
+  (ROI_GRID_POOL MLPS/POOL_RADIUS/NSAMPLE), channel-major flattened
+  SHARED_FC → CLS_FC/REG_FC refinement, ProposalTargetLayer subsampling to
+  ROI_PER_IMAGE with soft roi_iou labels, canonical reg targets + corner
+  loss, canonical decode + post-processing NMS.
 * RPN: anchor head over height-compressed encoder BEV features (shared
   AnchorDetectorBase machinery).
 """
@@ -28,18 +31,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import pointnet2 as P
-from ..core.geometry.boxes import points_in_boxes, rotate_points_along_z
-from ..core.geometry.iou import pairwise_iou3d
-from ..core.geometry.nms import nms_bev
+from ..core.geometry.boxes import points_in_boxes
 from ..core.voxel import VoxelGrid, dynamic_voxelize
 from ..core.voxel.sparse_ops import SparseGrid
-from . import losses
-from .anchor_head import decode_anchor_predictions, decode_boxes, encode_boxes
+from . import roi_head
+from .anchor_head import decode_anchor_predictions
 from .pointnet2_backbone import SharedMLP
 from .pointpillar import AnchorDetectorBase
+from .roi_head import make_fc_stack, roi_head_loss_cfg, roi_head_target_cfg, shared_fc_stack
 from .sparse_backbone import (
     SparseEncoder,
-    SparseTensor,
     height_compression,
     voxel_centers_of,
 )
@@ -114,22 +115,43 @@ class PVRCNN(AnchorDetectorBase):
         )
         self.seg_out = nn.Dense(1, param_dtype=jnp.float32, name="kp_seg")
         rh = cfg.get("ROI_HEAD", {})
-        self.num_rois = int(rh.get("NMS_POST_MAXSIZE", 64))
-        self.roi_pre_max = int(rh.get("NMS_PRE_MAXSIZE", 1024))
-        self.roi_nms_thresh = float(rh.get("NMS_THRESH", 0.8))
-        self.roi_grid = int(rh.get("GRID_SIZE", 6))
-        self.grid_sa = SAFromSource(
-            radius=float(rh.get("GRID_RADIUS", 0.8)),
-            nsample=int(rh.get("GRID_NSAMPLE", 16)),
-            mlp=tuple(rh.get("GRID_MLP", (64, 64))), dtype=self.dtype,
-            name="grid_sa",
-        )
-        self.roi_fc = SharedMLP(tuple(rh.get("FC", (128, 128))),
-                                dtype=self.dtype, name="roi_fc")
-        self.roi_cls = nn.Dense(1, param_dtype=jnp.float32, name="roi_cls")
-        self.roi_reg = nn.Dense(7, param_dtype=jnp.float32, name="roi_reg")
+        pool_cfg = rh.get("ROI_GRID_POOL", None)
+        if pool_cfg is not None and "POOL_RADIUS" in pool_cfg:
+            # reference PVRCNNHead schema (pv_rcnn.yaml ROI_GRID_POOL:
+            # MLPS / POOL_RADIUS / NSAMPLE, one SA group per radius)
+            self.roi_grid = int(pool_cfg.get("GRID_SIZE", 6))
+            self.grid_sa = [
+                SAFromSource(radius=float(r), nsample=int(n), mlp=tuple(m),
+                             dtype=self.dtype, name=f"grid_sa{i}")
+                for i, (r, n, m) in enumerate(zip(
+                    pool_cfg["POOL_RADIUS"], pool_cfg["NSAMPLE"],
+                    pool_cfg["MLPS"]))
+            ]
+        else:  # legacy compact schema
+            self.roi_grid = int(rh.get("GRID_SIZE", 6))
+            self.grid_sa = [SAFromSource(
+                radius=float(rh.get("GRID_RADIUS", 0.8)),
+                nsample=int(rh.get("GRID_NSAMPLE", 16)),
+                mlp=tuple(rh.get("GRID_MLP", (64, 64))), dtype=self.dtype,
+                name="grid_sa",
+            )]
+        self.grid_msg = None
+        self._setup_roi_fc(rh)
         self._setup_backbone2d(cfg)
         self._setup_anchors(cfg)
+
+    def _setup_roi_fc(self, rh):
+        """SHARED_FC tower + CLS_FC/REG_FC make_fc_layers (pvrcnn_head.py:
+        20-42: dropout between SHARED_FC blocks, pred conv included in the
+        cls/reg stacks)."""
+        dp = float(rh.get("DP_RATIO", 0.3))
+        self.shared_fc = shared_fc_stack(
+            tuple(rh.get("SHARED_FC", rh.get("FC", (256, 256)))), dp,
+            dtype=self.dtype, name="shared_fc")
+        self.cls_fc = make_fc_stack(tuple(rh.get("CLS_FC", (256, 256))), 1,
+                                    dp, dtype=self.dtype, name="cls_fc")
+        self.reg_fc = make_fc_stack(tuple(rh.get("REG_FC", (256, 256))), 7,
+                                    dp, dtype=self.dtype, name="reg_fc")
 
     # --- forward pieces ---
 
@@ -221,46 +243,38 @@ class PVRCNN(AnchorDetectorBase):
 
     def _roi_grid_pool(self, rois, roi_valid, keypoints, kp_valid, kp_feats,
                        train: bool):
-        """6³ grid points per RoI aggregated from keypoints (pvrcnn_head)."""
+        """G³ grid points per RoI ← multi-scale ball-query SA over keypoints
+        (pvrcnn_head.py roi_grid_pool:65-112), channel-major flatten matching
+        `pooled.permute(0, 2, 1).view(N, C·g³, 1)` (forward:154-158), then
+        SHARED_FC → CLS_FC/REG_FC refinement."""
         g = self.roi_grid
-        lin = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g - 0.5
-        gz, gy, gx = jnp.meshgrid(lin, lin, lin, indexing="ij")
-        unit = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # (g³, 3)
-
-        def grid_one(r):
-            local = unit[None, :, :] * r[:, None, 3:6]  # (R, g³, 3)
-            rot = rotate_points_along_z(local, r[:, 6])
-            return rot + r[:, None, 0:3]
-
-        grid_pts = jax.vmap(grid_one)(rois)  # (B, R, g³, 3)
+        grid_pts = roi_head.global_grid_points(rois[..., :7], g)
         b, r = grid_pts.shape[0], grid_pts.shape[1]
         flat_pts = grid_pts.reshape(b, r * g ** 3, 3)
         flat_valid = jnp.repeat(roi_valid, g ** 3, axis=1)
-        pooled = self.grid_sa(
-            flat_pts, flat_valid, keypoints, kp_feats, kp_valid, train
-        )  # (B, R*g³, C)
-        pooled = pooled.reshape(b, r, g ** 3 * pooled.shape[-1])
-        h = self.roi_fc(pooled, roi_valid[..., None], train)
-        cls = self.roi_cls(h)[..., 0].astype(jnp.float32)
-        reg = self.roi_reg(h).astype(jnp.float32)
-        return cls, reg
+        parts = [
+            sa(flat_pts, flat_valid, keypoints, kp_feats, kp_valid, train)
+            for sa in self.grid_sa
+        ]
+        pooled = jnp.concatenate(parts, axis=-1)  # (B, R·g³, ΣC)
+        if self.grid_msg is not None:
+            pooled = self.grid_msg(pooled, flat_valid[..., None], train)
+        c = pooled.shape[-1]
+        pooled = pooled.reshape(b * r, g ** 3, c)
+        pooled = jnp.swapaxes(pooled, 1, 2).reshape(b * r, c * g ** 3)
+        h = self.shared_fc(pooled, train)
+        cls = self.cls_fc(h, train)
+        reg = self.reg_fc(h, train)
+        return (cls.reshape(b, r).astype(jnp.float32),
+                reg.reshape(b, r, 7).astype(jnp.float32))
 
-    def _proposals(self, rpn_preds):
+    def _proposals(self, rpn_preds, train: bool):
         boxes, cls_scores = decode_anchor_predictions(
             rpn_preds, jnp.asarray(self._anchors_flat), len(self.class_names)
         )
-        scores = jnp.max(cls_scores, axis=-1)
-
-        def one(bx, sc):
-            sel, keep = nms_bev(
-                bx, sc, self.roi_nms_thresh,
-                pre_max=min(self.roi_pre_max, bx.shape[0]),
-                post_max=self.num_rois,
-            )
-            return bx[sel], jnp.where(keep, sc[sel], 0.0), keep
-
-        return jax.vmap(one)(jax.lax.stop_gradient(boxes),
-                             jax.lax.stop_gradient(scores))
+        nms_cfg = roi_head.resolve_nms_cfg(self.cfg.get("ROI_HEAD", {}),
+                                           train)
+        return roi_head.proposal_layer(boxes, cls_scores, nms_cfg)
 
     def __call__(self, batch, train: bool = True):
         from .anchor_head import anchor_head_loss
@@ -295,39 +309,29 @@ class PVRCNN(AnchorDetectorBase):
         )
         seg_loss = jnp.sum(bce * w)
 
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        rois, roi_scores, roi_labels, _ = self._proposals(rpn_preds, True)
+        rh_cfg = self.cfg.get("ROI_HEAD", {})
+        key = (self.make_rng("sampler") if self.has_rng("sampler")
+               else jax.random.PRNGKey(0))
+        tgt = roi_head.assign_roi_targets(
+            key, rois, roi_labels, roi_scores, batch.gt_boxes,
+            batch.gt_valid, roi_head_target_cfg(rh_cfg),
+        )
+        m = tgt["rois"].shape[1]
         rcnn_cls, rcnn_reg = self._roi_grid_pool(
-            rois, roi_valid, keypoints, kp_valid, kp_feats, train
+            tgt["rois"], jnp.ones((rois.shape[0], m), bool),
+            keypoints, kp_valid, kp_feats, train,
+        )
+        rcnn_loss, rtb = roi_head.roi_head_loss(
+            rcnn_cls, rcnn_reg, tgt, roi_head_loss_cfg(rh_cfg)
         )
 
-        def roi_iou_one(rr, rv, gt, gv):
-            iou = pairwise_iou3d(rr[:, :7], gt[:, :7])
-            iou = jnp.where(gv[None, :], iou, -1.0)
-            return jnp.max(iou, axis=1), gt[jnp.argmax(iou, axis=1)]
-
-        roi_iou, roi_gt = jax.vmap(roi_iou_one)(
-            rois, roi_valid, batch.gt_boxes, batch.gt_valid
-        )
-        cls_t = jnp.where(roi_iou > 0.6, 1.0, 0.0)
-        cls_cared = ((roi_iou > 0.6) | (roi_iou < 0.45)) & roi_valid
-        rbce = jnp.clip(rcnn_cls, 0) - rcnn_cls * cls_t + jnp.log1p(
-            jnp.exp(-jnp.abs(rcnn_cls))
-        )
-        rcnn_cls_loss = jnp.sum(rbce * cls_cared) / jnp.maximum(
-            jnp.sum(cls_cared), 1.0
-        )
-        reg_mask = (roi_iou > 0.55) & roi_valid
-        reg_t = encode_boxes(roi_gt[..., :7], rois[..., :7])
-        rw = reg_mask.astype(jnp.float32)
-        rw = rw / jnp.maximum(jnp.sum(rw, axis=1, keepdims=True), 1.0)
-        rcnn_reg_loss = jnp.sum(
-            losses.weighted_smooth_l1(rcnn_reg, reg_t, rw)
-        ) / batch.points.shape[0]
-
-        total = total + seg_loss + rcnn_cls_loss + rcnn_reg_loss
+        total = total + seg_loss + rcnn_loss
         tb.update(
-            {"kp_seg_loss": seg_loss, "rcnn_cls_loss": rcnn_cls_loss,
-             "rcnn_reg_loss": rcnn_reg_loss, "rpn_loss": total}
+            {"kp_seg_loss": seg_loss,
+             "rcnn_cls_loss": rtb["rcnn_loss_cls"],
+             "rcnn_reg_loss": rtb["rcnn_loss_reg_total"],
+             "rpn_loss": total}
         )
         return total, tb
 
@@ -336,15 +340,17 @@ class PVRCNN(AnchorDetectorBase):
         keypoints, kp_valid, kp_feats, _ = self._keypoint_features(
             batch, bev, stages, train=False
         )
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        rois, roi_scores, roi_labels, roi_valid = self._proposals(
+            rpn_preds, False
+        )
         rcnn_cls, rcnn_reg = self._roi_grid_pool(
             rois, roi_valid, keypoints, kp_valid, kp_feats, train=False
         )
-        refined = decode_boxes(rcnn_reg, rois[..., :7])
-        scores = jax.nn.sigmoid(rcnn_cls) * roi_scores
-        scores = jnp.where(roi_valid, scores, 0.0)
-        labels = jnp.ones_like(scores, dtype=jnp.int32)
-        return refined, scores, labels, roi_valid
+        refined = roi_head.generate_predicted_boxes(rois[..., :7], rcnn_reg)
+        scores = jnp.where(roi_valid, jax.nn.sigmoid(rcnn_cls), 0.0)
+        return roi_head.final_nms(
+            refined, scores, roi_labels, roi_valid, self.cfg.POST_PROCESSING
+        )
 
 
 class VPFromSource(nn.Module):
@@ -421,21 +427,40 @@ class PVRCNNPlusPlus(PVRCNN):
         )
         self.seg_out = nn.Dense(1, param_dtype=jnp.float32, name="kp_seg")
         rh = cfg.get("ROI_HEAD", {})
-        self.num_rois = int(rh.get("NMS_POST_MAXSIZE", 64))
-        self.roi_pre_max = int(rh.get("NMS_PRE_MAXSIZE", 1024))
-        self.roi_nms_thresh = float(rh.get("NMS_THRESH", 0.8))
-        self.roi_grid = int(rh.get("GRID_SIZE", 6))
-        self.grid_sa = VPFromSource(
-            radius=float(rh.get("GRID_RADIUS", 0.8)),
-            nsample=int(rh.get("GRID_NSAMPLE", 16)),
-            bins=tuple(rh.get("VP_BINS", (2, 2, 2))),
-            mlp=tuple(rh.get("GRID_MLP", (64, 64))), dtype=self.dtype,
-            name="grid_vp",
-        )
-        self.roi_fc = SharedMLP(tuple(rh.get("FC", (128, 128))),
-                                dtype=self.dtype, name="roi_fc")
-        self.roi_cls = nn.Dense(1, param_dtype=jnp.float32, name="roi_cls")
-        self.roi_reg = nn.Dense(7, param_dtype=jnp.float32, name="roi_reg")
+        pool_cfg = rh.get("ROI_GRID_POOL", None)
+        if pool_cfg is not None and "NUM_GROUPS" in pool_cfg:
+            # reference VectorPoolAggregationModuleMSG schema
+            # (pv_rcnn_plusplus yaml ROI_GRID_POOL: GROUP_CFG_i with
+            # NUM_LOCAL_VOXEL / MAX_NEIGHBOR_DISTANCE / NEIGHBOR_NSAMPLE /
+            # POST_MLPS, fused by MSG_POST_MLPS)
+            self.roi_grid = int(pool_cfg.get("GRID_SIZE", 6))
+            groups = []
+            for i in range(int(pool_cfg["NUM_GROUPS"])):
+                g_cfg = pool_cfg[f"GROUP_CFG_{i}"]
+                ns = int(g_cfg.get("NEIGHBOR_NSAMPLE", 32))
+                groups.append(VPFromSource(
+                    radius=float(g_cfg["MAX_NEIGHBOR_DISTANCE"]),
+                    nsample=ns if ns > 0 else 32,
+                    bins=tuple(g_cfg["NUM_LOCAL_VOXEL"]),
+                    mlp=tuple(g_cfg["POST_MLPS"]), dtype=self.dtype,
+                    name=f"grid_vp{i}",
+                ))
+            self.grid_sa = groups
+            self.grid_msg = SharedMLP(
+                tuple(pool_cfg["MSG_POST_MLPS"]), dtype=self.dtype,
+                name="grid_msg",
+            ) if pool_cfg.get("MSG_POST_MLPS") else None
+        else:  # legacy compact schema
+            self.roi_grid = int(rh.get("GRID_SIZE", 6))
+            self.grid_sa = [VPFromSource(
+                radius=float(rh.get("GRID_RADIUS", 0.8)),
+                nsample=int(rh.get("GRID_NSAMPLE", 16)),
+                bins=tuple(rh.get("VP_BINS", (2, 2, 2))),
+                mlp=tuple(rh.get("GRID_MLP", (64, 64))), dtype=self.dtype,
+                name="grid_vp",
+            )]
+            self.grid_msg = None
+        self._setup_roi_fc(rh)
         self._setup_backbone2d(cfg)
         self._setup_anchors(cfg)
 
@@ -526,10 +551,22 @@ class PVRCNNPlusPlus(PVRCNN):
              "dir_weight": lw.get("dir_weight", 0.2),
              "code_weights": lw.get("code_weights", None)},
         )
-        # proposals FIRST (keypoints are proposal-centric in ++)
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        # proposals FIRST (keypoints are proposal-centric in ++); train-time
+        # keypoints sample around the SUBSAMPLED rois, matching the
+        # reference's assign_targets → batch_dict['rois'] update before PFE
+        # (pv_rcnn_plusplus.py forward)
+        rois, roi_scores, roi_labels, _ = self._proposals(rpn_preds, True)
+        rh_cfg = self.cfg.get("ROI_HEAD", {})
+        key = (self.make_rng("sampler") if self.has_rng("sampler")
+               else jax.random.PRNGKey(0))
+        tgt = roi_head.assign_roi_targets(
+            key, rois, roi_labels, roi_scores, batch.gt_boxes,
+            batch.gt_valid, roi_head_target_cfg(rh_cfg),
+        )
+        m = tgt["rois"].shape[1]
+        roi_valid = jnp.ones((rois.shape[0], m), bool)
         keypoints, kp_valid, kp_feats, seg_logits = self._keypoint_features(
-            batch, bev, stages, train, rois=rois, roi_valid=roi_valid
+            batch, bev, stages, train, rois=tgt["rois"], roi_valid=roi_valid
         )
 
         def seg_tgt_one(kp, kv, gt, gv):
@@ -548,51 +585,34 @@ class PVRCNNPlusPlus(PVRCNN):
         seg_loss = jnp.sum(bce * w)
 
         rcnn_cls, rcnn_reg = self._roi_grid_pool(
-            rois, roi_valid, keypoints, kp_valid, kp_feats, train
+            tgt["rois"], roi_valid, keypoints, kp_valid, kp_feats, train
+        )
+        rcnn_loss, rtb = roi_head.roi_head_loss(
+            rcnn_cls, rcnn_reg, tgt, roi_head_loss_cfg(rh_cfg)
         )
 
-        def roi_iou_one(rr, rv, gt, gv):
-            iou = pairwise_iou3d(rr[:, :7], gt[:, :7])
-            iou = jnp.where(gv[None, :], iou, -1.0)
-            return jnp.max(iou, axis=1), gt[jnp.argmax(iou, axis=1)]
-
-        roi_iou, roi_gt = jax.vmap(roi_iou_one)(
-            rois, roi_valid, batch.gt_boxes, batch.gt_valid
-        )
-        cls_t = jnp.where(roi_iou > 0.6, 1.0, 0.0)
-        cls_cared = ((roi_iou > 0.6) | (roi_iou < 0.45)) & roi_valid
-        rbce = jnp.clip(rcnn_cls, 0) - rcnn_cls * cls_t + jnp.log1p(
-            jnp.exp(-jnp.abs(rcnn_cls))
-        )
-        rcnn_cls_loss = jnp.sum(rbce * cls_cared) / jnp.maximum(
-            jnp.sum(cls_cared), 1.0
-        )
-        reg_mask = (roi_iou > 0.55) & roi_valid
-        reg_t = encode_boxes(roi_gt[..., :7], rois[..., :7])
-        rw = reg_mask.astype(jnp.float32)
-        rw = rw / jnp.maximum(jnp.sum(rw, axis=1, keepdims=True), 1.0)
-        rcnn_reg_loss = jnp.sum(
-            losses.weighted_smooth_l1(rcnn_reg, reg_t, rw)
-        ) / batch.points.shape[0]
-
-        total = total + seg_loss + rcnn_cls_loss + rcnn_reg_loss
+        total = total + seg_loss + rcnn_loss
         tb.update(
-            {"kp_seg_loss": seg_loss, "rcnn_cls_loss": rcnn_cls_loss,
-             "rcnn_reg_loss": rcnn_reg_loss, "rpn_loss": total}
+            {"kp_seg_loss": seg_loss,
+             "rcnn_cls_loss": rtb["rcnn_loss_cls"],
+             "rcnn_reg_loss": rtb["rcnn_loss_reg_total"],
+             "rpn_loss": total}
         )
         return total, tb
 
     def predict(self, batch):
         rpn_preds, bev, stages = self._backbone(batch, train=False)
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        rois, roi_scores, roi_labels, roi_valid = self._proposals(
+            rpn_preds, False
+        )
         keypoints, kp_valid, kp_feats, _ = self._keypoint_features(
             batch, bev, stages, train=False, rois=rois, roi_valid=roi_valid
         )
         rcnn_cls, rcnn_reg = self._roi_grid_pool(
             rois, roi_valid, keypoints, kp_valid, kp_feats, train=False
         )
-        refined = decode_boxes(rcnn_reg, rois[..., :7])
-        scores = jax.nn.sigmoid(rcnn_cls) * roi_scores
-        scores = jnp.where(roi_valid, scores, 0.0)
-        labels = jnp.ones_like(scores, dtype=jnp.int32)
-        return refined, scores, labels, roi_valid
+        refined = roi_head.generate_predicted_boxes(rois[..., :7], rcnn_reg)
+        scores = jnp.where(roi_valid, jax.nn.sigmoid(rcnn_cls), 0.0)
+        return roi_head.final_nms(
+            refined, scores, roi_labels, roi_valid, self.cfg.POST_PROCESSING
+        )

@@ -27,10 +27,37 @@ def pv_cfg():
                   "SA_MLP": [8, 8], "FUSION_MLP": [32], "NSAMPLE": 8,
                   "STAGE_RADII": [0.4, 0.8, 1.6, 3.2]}
     cfg["POINT_HEAD"] = {"NAME": "PointHeadSimple"}
+    # reference pv_rcnn.yaml ROI_HEAD schema at test scale
     cfg["ROI_HEAD"] = {
-        "NAME": "PVRCNNHead", "NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 8,
-        "NMS_THRESH": 0.8, "GRID_SIZE": 4, "GRID_MLP": [16, 16],
-        "FC": [32, 32],
+        "NAME": "PVRCNNHead", "CLASS_AGNOSTIC": True,
+        "SHARED_FC": [32, 32], "CLS_FC": [16], "REG_FC": [16],
+        "DP_RATIO": 0.3,
+        "NMS_CONFIG": {
+            "TRAIN": {"NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 32,
+                      "NMS_THRESH": 0.8},
+            "TEST": {"NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 8,
+                     "NMS_THRESH": 0.7},
+        },
+        "ROI_GRID_POOL": {
+            "GRID_SIZE": 4, "MLPS": [[16, 16], [16, 16]],
+            "POOL_RADIUS": [0.8, 1.6], "NSAMPLE": [8, 8],
+            "POOL_METHOD": "max_pool",
+        },
+        "TARGET_CONFIG": {
+            "BOX_CODER": "ResidualCoder", "ROI_PER_IMAGE": 16,
+            "FG_RATIO": 0.5, "SAMPLE_ROI_BY_EACH_CLASS": True,
+            "CLS_SCORE_TYPE": "roi_iou", "CLS_FG_THRESH": 0.75,
+            "CLS_BG_THRESH": 0.25, "CLS_BG_THRESH_LO": 0.1,
+            "HARD_BG_RATIO": 0.8, "REG_FG_THRESH": 0.55,
+        },
+        "LOSS_CONFIG": {
+            "CLS_LOSS": "BinaryCrossEntropy", "REG_LOSS": "smooth-l1",
+            "CORNER_LOSS_REGULARIZATION": True,
+            "LOSS_WEIGHTS": {
+                "rcnn_cls_weight": 1.0, "rcnn_reg_weight": 1.0,
+                "rcnn_corner_weight": 1.0, "code_weights": [1.0] * 7,
+            },
+        },
     }
     for c in cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"]:
         c["feature_map_stride"] = 8

@@ -88,11 +88,31 @@ def _two_stage_smoke(cfg_name, extra_cfg=None):
 
 class TestPVRCNNPlusPlus:
     def test_loss_grads_predict(self):
+        # reference VectorPoolAggregationModuleMSG ROI_GRID_POOL schema at
+        # test scale (pv_rcnn_plusplus yaml GROUP_CFG_i)
         tb = _two_stage_smoke("PVRCNNPlusPlus", {
             "PFE": {"NAME": "VectorPoolAggregation", "NUM_KEYPOINTS": 128,
                     "SA_MLP": [8, 8], "FUSION_MLP": [32], "NSAMPLE": 8,
                     "STAGE_RADII": [0.4, 0.8, 1.6, 3.2], "VP_BINS": [2, 2, 2],
                     "SPC_RADIUS": 2.4},
+            "ROI_HEAD": {
+                **pv_cfg()["ROI_HEAD"],
+                "NAME": "PVRCNNHead",
+                "ROI_GRID_POOL": {
+                    "GRID_SIZE": 4,
+                    "NAME": "VectorPoolAggregationModuleMSG",
+                    "NUM_GROUPS": 2,
+                    "MSG_POST_MLPS": [16],
+                    "GROUP_CFG_0": {"NUM_LOCAL_VOXEL": [2, 2, 2],
+                                    "MAX_NEIGHBOR_DISTANCE": 0.8,
+                                    "NEIGHBOR_NSAMPLE": 8,
+                                    "POST_MLPS": [16, 16]},
+                    "GROUP_CFG_1": {"NUM_LOCAL_VOXEL": [2, 2, 2],
+                                    "MAX_NEIGHBOR_DISTANCE": 1.6,
+                                    "NEIGHBOR_NSAMPLE": 8,
+                                    "POST_MLPS": [16, 16]},
+                },
+            },
         })
         for k in ("kp_seg_loss", "rcnn_cls_loss", "rcnn_reg_loss"):
             assert np.isfinite(float(tb[k])), k
