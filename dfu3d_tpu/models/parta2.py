@@ -16,8 +16,12 @@ Capability re-design on this repo's sparse substrate:
   normalized [0,1]³ coordinates inside its gt box, BCE-supervised on
   foreground voxels (reference point_head_template + part semantics).
 * **RoI-aware pooling** (completes SURVEY N2): sampled RoI points voxelized on
-  a (G, G, G) grid in the canonical RoI frame with masked max-pool, then a
-  small dense 3D conv + FC cls/reg refinement (partA2_head capability).
+  a (G, G, G) grid in the canonical RoI frame with masked avg (part stream) /
+  max (rpn stream) pooling, reference cell layout (x, y, z).
+* **RoI head**: the reference-exact PartA2FCHead — dual subm conv stacks over
+  the pooled grids (dense SAME convs re-masked to the occupied set), merged
+  channel-major into SHARED_FC → CLS_FC/REG_FC, with ProposalTargetLayer
+  subsampling + canonical losses via models/roi_head.py.
 * Proposals: anchor head over the height-compressed encoder BEV features (the
   reference RPN path), via the shared AnchorDetectorBase machinery.
 """
@@ -30,15 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.geometry.iou import pairwise_iou3d
-from ..core.geometry.nms import nms_bev
 from ..core.voxel import VoxelGrid, dynamic_voxelize
 from ..core.voxel.sparse_ops import SparseGrid
-from . import losses
-from .anchor_head import encode_boxes
+from . import roi_head
 from .pointpillar import AnchorDetectorBase
 from .pointrcnn import pool_roi_points
 from .pointnet2_backbone import SharedMLP
+from .roi_head import make_fc_stack, roi_head_loss_cfg, roi_head_target_cfg, shared_fc_stack
 from .sparse_backbone import (
     SparseConv3dDown,
     SparseConvBlock,
@@ -128,7 +130,11 @@ def roiaware_pool(points_xyz, point_feats, points_valid, rois, roi_valid,
     """RoI-aware grid pooling (SURVEY N2: roiaware_pool3d max/avg).
 
     Sampled RoI points are voxelized on a (G, G, G) grid in the canonical RoI
-    frame and max/mean-pooled. Returns (R, G, G, G, C).
+    frame and max/mean-pooled. Returns (R, G, G, G, C) with the reference's
+    (x, y, z) cell layout (RoIAwarePool3d outputs (N, out_x, out_y, out_z, C)).
+    TPU redesign: the reference pools every in-box point with a per-cell cap
+    (MAX_POINTS_PER_VOXEL); here a static per-roi point sample feeds a
+    segment reduction.
     """
     local, feats, sample_valid = pool_roi_points(
         points_xyz, point_feats, points_valid, rois, roi_valid, num_samples,
@@ -138,7 +144,7 @@ def roiaware_pool(points_xyz, point_feats, points_valid, rois, roi_valid,
     dims = jnp.maximum(rois[:, 3:6], 1e-3)  # (R, 3)
     rel = (local / dims[:, None, :] + 0.5) * g
     cell = jnp.clip(rel.astype(jnp.int32), 0, g - 1)
-    cell_id = (cell[..., 2] * g + cell[..., 1]) * g + cell[..., 0]  # (R, S)
+    cell_id = (cell[..., 0] * g + cell[..., 1]) * g + cell[..., 2]  # (R, S)
     r = rois.shape[0]
     seg = jnp.where(sample_valid, cell_id + jnp.arange(r)[:, None] * g ** 3,
                     r * g ** 3)
@@ -159,34 +165,64 @@ def roiaware_pool(points_xyz, point_feats, points_valid, rois, roi_valid,
 
 
 class PartA2RoIHead(nn.Module):
-    """Dense 3D conv over pooled RoI grids + FC cls/reg (partA2_head capability)."""
+    """Reference-exact PartA2FCHead stack (partA2_head.py:15-58, 164-218).
+
+    TPU redesign: the pooled RoI grids are dense (R, G, G, G, C), so the
+    reference's submanifold conv blocks (post_act_block 'subm', BN eps 1e-3
+    torch-momentum 0.01) become dense SAME convs whose outputs are re-masked
+    to the occupied cells (subm preserves the active set; inactive inputs are
+    zero so the convolution sums match) with BN statistics over occupied
+    cells only (spconv's BN1d sees only active sites). The part/rpn streams
+    merge as torch.cat((x_rpn, x_part)), flatten channel-major
+    (`dense().view(N, -1, 1)` is (N, C, x, y, z)), then SHARED_FC →
+    CLS_FC/REG_FC via the shared roi_head stacks.
+    """
 
     grid_size: int = 12
-    conv_channels: int = 64
-    fc: Sequence[int] = (256, 256)
+    num_features: int = 128
+    shared_fc: Sequence[int] = (256, 256, 256)
+    cls_fc: Sequence[int] = (256, 256)
+    reg_fc: Sequence[int] = (256, 256)
+    dp_ratio: float = 0.3
     dtype: jnp.dtype = jnp.float32
 
+    def _subm_block(self, x, mask, ch: int, name: str, train: bool):
+        from .vfe import MaskedBatchNorm
+
+        x = nn.Conv(ch, (3, 3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"{name}_conv")(x)
+        flat_mask = jnp.broadcast_to(mask, x.shape[:-1]).reshape(-1)
+        x = MaskedBatchNorm(momentum=0.99, epsilon=1e-3, dtype=self.dtype,
+                            name=f"{name}_bn")(
+            x.reshape(-1, ch), flat_mask, train
+        ).reshape(x.shape)
+        return jnp.where(mask[..., None], nn.relu(x), 0.0)
+
     @nn.compact
-    def __call__(self, grids, train: bool):
-        # grids: (B, R, G, G, G, C) → merge batch/roi for the conv stack
-        b, r = grids.shape[0], grids.shape[1]
-        x = grids.reshape((b * r,) + grids.shape[2:]).astype(self.dtype)
-        for i, stride in enumerate([2, 2]):
-            x = nn.Conv(self.conv_channels, (3, 3, 3), strides=(stride,) * 3,
-                        padding=1, use_bias=False, dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             param_dtype=jnp.float32, name=f"bn{i}")(x)
-            x = nn.relu(x).astype(self.dtype)
-        x = x.reshape(b * r, -1)
-        for i, f in enumerate(self.fc):
-            x = nn.Dense(f, dtype=self.dtype, param_dtype=jnp.float32,
-                         name=f"fc{i}")(x)
-            x = nn.relu(x)
-        cls = nn.Dense(1, param_dtype=jnp.float32, name="cls")(x).reshape(b, r)
-        reg = nn.Dense(7, param_dtype=jnp.float32, name="reg")(x).reshape(b, r, 7)
-        return cls.astype(jnp.float32), reg.astype(jnp.float32)
+    def __call__(self, part_grids, rpn_grids, train: bool):
+        """part_grids (B, R, G, G, G, 4), rpn_grids (B, R, G, G, G, C)."""
+        b, r = part_grids.shape[0], part_grids.shape[1]
+        part = part_grids.reshape((b * r,) + part_grids.shape[2:])
+        rpn = rpn_grids.reshape((b * r,) + rpn_grids.shape[2:])
+        # active set: sparse_idx = pooled_part.sum(-1).nonzero()
+        mask = jnp.sum(jnp.abs(part), axis=-1) > 0
+        c0 = self.num_features // 2
+        xp = part.astype(self.dtype)
+        xr = rpn.astype(self.dtype)
+        for i, ch in enumerate((64, c0)):
+            xp = self._subm_block(xp, mask, ch, f"part{i}", train)
+            xr = self._subm_block(xr, mask, ch, f"rpn{i}", train)
+        merged = jnp.concatenate([xr, xp], axis=-1)
+        merged = jnp.moveaxis(merged, -1, 1).reshape(b * r, -1)
+        h = shared_fc_stack(self.shared_fc, self.dp_ratio, dtype=self.dtype,
+                            name="shared_fc")(merged, train)
+        cls = make_fc_stack(self.cls_fc, 1, self.dp_ratio, dtype=self.dtype,
+                            name="cls_fc")(h, train)
+        reg = make_fc_stack(self.reg_fc, 7, self.dp_ratio, dtype=self.dtype,
+                            name="reg_fc")(h, train)
+        return (cls.reshape(b, r).astype(jnp.float32),
+                reg.reshape(b, r, 7).astype(jnp.float32))
 
 
 class PartA2Net(AnchorDetectorBase):
@@ -211,12 +247,25 @@ class PartA2Net(AnchorDetectorBase):
         self.seg_out = nn.Dense(1, param_dtype=jnp.float32, name="seg_out")
         self.part_out = nn.Dense(3, param_dtype=jnp.float32, name="part_out")
         rh = cfg.get("ROI_HEAD", {})
-        self.num_rois = int(rh.get("NMS_POST_MAXSIZE", 64))
-        self.roi_pre_max = int(rh.get("NMS_PRE_MAXSIZE", 1024))
-        self.roi_nms_thresh = float(rh.get("NMS_THRESH", 0.8))
-        self.roi_samples = int(rh.get("ROI_POINT_SAMPLES", 128))
+        pool_cfg = rh.get("ROI_AWARE_POOL", None)
+        if pool_cfg is not None:  # reference PartA2.yaml schema
+            g = int(pool_cfg.get("POOL_SIZE", 12))
+            nf = int(pool_cfg.get("NUM_FEATURES", 128))
+        else:  # legacy compact schema
+            g = int(rh.get("GRID_SIZE", 12))
+            nf = int(rh.get("NUM_FEATURES", 128))
+        # static per-roi point sample feeding the segment reduction (the
+        # reference instead caps points per CELL via MAX_POINTS_PER_VOXEL)
+        self.roi_samples = int(rh.get("ROI_POINT_SAMPLES", 512))
+        self.seg_mask_thresh = float(rh.get("SEG_MASK_SCORE_THRESH", 0.3))
+        self.disable_part = bool(rh.get("DISABLE_PART", False))
         self.roi_head = PartA2RoIHead(
-            grid_size=int(rh.get("GRID_SIZE", 12)), dtype=self.dtype
+            grid_size=g, num_features=nf,
+            shared_fc=tuple(rh.get("SHARED_FC", (256, 256, 256))),
+            cls_fc=tuple(rh.get("CLS_FC", (256, 256))),
+            reg_fc=tuple(rh.get("REG_FC", (256, 256))),
+            dp_ratio=float(rh.get("DP_RATIO", 0.3)),
+            dtype=self.dtype,
         )
         self._setup_backbone2d(cfg)
         self._setup_anchors(cfg)
@@ -322,99 +371,83 @@ class PartA2Net(AnchorDetectorBase):
         )
         part_loss = jnp.sum(part_bce * fg_w[..., None]) / 3.0
 
-        # RoI refinement (proposals from the RPN, pooled part+decoder features)
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
-        centers = self._voxel_centers(point_st.coords)
-        aug_feats = jnp.concatenate(
-            [point_st.features.astype(jnp.float32), part_pred,
-             jax.nn.sigmoid(seg_logits)[..., None]], axis=-1,
+        # RoI refinement (proposal layer → ProposalTargetLayer → pooled
+        # part/rpn streams → PartA2FCHead, roi_head template losses)
+        rois, roi_scores, roi_labels, _ = self._proposals(rpn_preds, True)
+        rh_cfg = self.cfg.get("ROI_HEAD", {})
+        key = (self.make_rng("sampler") if self.has_rng("sampler")
+               else jax.random.PRNGKey(0))
+        tgt = roi_head.assign_roi_targets(
+            key, rois, roi_labels, roi_scores, batch.gt_boxes,
+            batch.gt_valid, roi_head_target_cfg(rh_cfg),
+        )
+        m = tgt["rois"].shape[1]
+        rcnn_cls, rcnn_reg = self._roi_forward(
+            tgt["rois"], jnp.ones((rois.shape[0], m), bool),
+            point_st, seg_logits, part_pred, train,
+        )
+        rcnn_loss, rtb = roi_head.roi_head_loss(
+            rcnn_cls, rcnn_reg, tgt, roi_head_loss_cfg(rh_cfg)
         )
 
-        def pool_one(c, f, v, r, rv):
-            return roiaware_pool(
-                c, f, v, r, rv, self.roi_samples, self.roi_head.grid_size
-            )
-
-        grids = jax.vmap(pool_one)(
-            centers, aug_feats, point_st.valid, rois, roi_valid
-        )
-        rcnn_cls, rcnn_reg = self.roi_head(grids, train)
-
-        def roi_iou_one(r, rv, gt, gv):
-            iou = pairwise_iou3d(r[:, :7], gt[:, :7])
-            iou = jnp.where(gv[None, :], iou, -1.0)
-            return jnp.max(iou, axis=1), gt[jnp.argmax(iou, axis=1)]
-
-        roi_iou, roi_gt = jax.vmap(roi_iou_one)(
-            rois, roi_valid, batch.gt_boxes, batch.gt_valid
-        )
-        cls_t = jnp.where(roi_iou > 0.6, 1.0, 0.0)
-        cls_cared = ((roi_iou > 0.6) | (roi_iou < 0.45)) & roi_valid
-        rbce = jnp.clip(rcnn_cls, 0) - rcnn_cls * cls_t + jnp.log1p(
-            jnp.exp(-jnp.abs(rcnn_cls))
-        )
-        rcnn_cls_loss = jnp.sum(rbce * cls_cared) / jnp.maximum(
-            jnp.sum(cls_cared), 1.0
-        )
-        reg_mask = (roi_iou > 0.55) & roi_valid
-        reg_t = encode_boxes(roi_gt[..., :7], rois[..., :7])
-        rw = reg_mask.astype(jnp.float32)
-        rw = rw / jnp.maximum(jnp.sum(rw, axis=1, keepdims=True), 1.0)
-        rcnn_reg_loss = jnp.sum(
-            losses.weighted_smooth_l1(rcnn_reg, reg_t, rw)
-        ) / batch.points.shape[0]
-
-        total = rpn_loss + seg_loss + part_loss + rcnn_cls_loss + rcnn_reg_loss
+        total = rpn_loss + seg_loss + part_loss + rcnn_loss
         tb.update(
             {"seg_loss": seg_loss, "part_loss": part_loss,
-             "rcnn_cls_loss": rcnn_cls_loss, "rcnn_reg_loss": rcnn_reg_loss,
+             "rcnn_cls_loss": rtb["rcnn_loss_cls"],
+             "rcnn_reg_loss": rtb["rcnn_loss_reg_total"],
              "rpn_loss": total}
         )
         return total, tb
 
-    def _proposals(self, rpn_preds):
+    def _proposals(self, rpn_preds, train: bool):
         from .anchor_head import decode_anchor_predictions
 
         boxes, cls_scores = decode_anchor_predictions(
             rpn_preds, jnp.asarray(self._anchors_flat), len(self.class_names)
         )
-        scores = jnp.max(cls_scores, axis=-1)
+        nms_cfg = roi_head.resolve_nms_cfg(self.cfg.get("ROI_HEAD", {}),
+                                           train)
+        return roi_head.proposal_layer(boxes, cls_scores, nms_cfg)
 
-        def one(bx, sc):
-            sel, keep = nms_bev(
-                bx, sc, self.roi_nms_thresh,
-                pre_max=min(self.roi_pre_max, bx.shape[0]),
-                post_max=self.num_rois,
-            )
-            return bx[sel], jnp.where(keep, sc[sel], 0.0), keep
+    def _roi_forward(self, rois, roi_valid, point_st, seg_logits, part_pred,
+                     train: bool):
+        """RoI-aware avg(part)/max(rpn) pooling + conv/FC head
+        (partA2_head.py roiaware_pool:105-152: part stream =
+        [part_offset ‖ detached cls score] with offsets zeroed below
+        SEG_MASK_SCORE_THRESH — raw coords instead under DISABLE_PART)."""
+        centers = self._voxel_centers(point_st.coords)
+        score = jax.lax.stop_gradient(jax.nn.sigmoid(seg_logits))
+        part_src = centers if self.disable_part else part_pred
+        part_feats = jnp.concatenate([
+            jnp.where(score[..., None] >= self.seg_mask_thresh, part_src, 0.0),
+            score[..., None],
+        ], axis=-1)
+        rpn_feats = point_st.features.astype(jnp.float32)
 
-        return jax.vmap(one)(jax.lax.stop_gradient(boxes),
-                             jax.lax.stop_gradient(scores))
+        def pool_one(c, pf, rf, v, r, rv):
+            part = roiaware_pool(c, pf, v, r, rv, self.roi_samples,
+                                 self.roi_head.grid_size, reduce="avg")
+            rpn = roiaware_pool(c, rf, v, r, rv, self.roi_samples,
+                                self.roi_head.grid_size, reduce="max")
+            return part, rpn
+
+        part_grids, rpn_grids = jax.vmap(pool_one)(
+            centers, part_feats, rpn_feats, point_st.valid, rois, roi_valid
+        )
+        return self.roi_head(part_grids, rpn_grids, train)
 
     def predict(self, batch):
         rpn_preds, point_st, seg_logits, part_pred = self._backbone(
             batch, train=False
         )
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
-        centers = self._voxel_centers(point_st.coords)
-        aug_feats = jnp.concatenate(
-            [point_st.features.astype(jnp.float32), part_pred,
-             jax.nn.sigmoid(seg_logits)[..., None]], axis=-1,
+        rois, roi_scores, roi_labels, roi_valid = self._proposals(
+            rpn_preds, False
         )
-
-        def pool_one(c, f, v, r, rv):
-            return roiaware_pool(
-                c, f, v, r, rv, self.roi_samples, self.roi_head.grid_size
-            )
-
-        grids = jax.vmap(pool_one)(
-            centers, aug_feats, point_st.valid, rois, roi_valid
+        rcnn_cls, rcnn_reg = self._roi_forward(
+            rois, roi_valid, point_st, seg_logits, part_pred, train=False
         )
-        rcnn_cls, rcnn_reg = self.roi_head(grids, train=False)
-        from .anchor_head import decode_boxes
-
-        refined = decode_boxes(rcnn_reg, rois[..., :7])
-        scores = jax.nn.sigmoid(rcnn_cls) * roi_scores
-        scores = jnp.where(roi_valid, scores, 0.0)
-        labels = jnp.ones_like(scores, dtype=jnp.int32)  # class-agnostic head
-        return refined, scores, labels, roi_valid
+        refined = roi_head.generate_predicted_boxes(rois[..., :7], rcnn_reg)
+        scores = jnp.where(roi_valid, jax.nn.sigmoid(rcnn_cls), 0.0)
+        return roi_head.final_nms(
+            refined, scores, roi_labels, roi_valid, self.cfg.POST_PROCESSING
+        )

@@ -24,9 +24,36 @@ def pa2_cfg():
         "NUM_UPSAMPLE_FILTERS": [32],
     }
     cfg["POINT_HEAD"] = {"NAME": "PointIntraPartOffsetHead", "CLS_FC": [32]}
+    # reference PartA2.yaml ROI_HEAD schema at test scale
     cfg["ROI_HEAD"] = {
-        "NAME": "PartA2FCHead", "NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 8,
-        "NMS_THRESH": 0.8, "ROI_POINT_SAMPLES": 32, "GRID_SIZE": 8,
+        "NAME": "PartA2FCHead", "CLASS_AGNOSTIC": True,
+        "SHARED_FC": [32, 32], "CLS_FC": [16], "REG_FC": [16],
+        "DP_RATIO": 0.3,
+        "SEG_MASK_SCORE_THRESH": 0.3,
+        "ROI_POINT_SAMPLES": 32,
+        "NMS_CONFIG": {
+            "TRAIN": {"NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 32,
+                      "NMS_THRESH": 0.8},
+            "TEST": {"NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 8,
+                     "NMS_THRESH": 0.7},
+        },
+        "ROI_AWARE_POOL": {"POOL_SIZE": 8, "NUM_FEATURES": 32,
+                           "MAX_POINTS_PER_VOXEL": 32},
+        "TARGET_CONFIG": {
+            "BOX_CODER": "ResidualCoder", "ROI_PER_IMAGE": 16,
+            "FG_RATIO": 0.5, "SAMPLE_ROI_BY_EACH_CLASS": True,
+            "CLS_SCORE_TYPE": "roi_iou", "CLS_FG_THRESH": 0.75,
+            "CLS_BG_THRESH": 0.25, "CLS_BG_THRESH_LO": 0.1,
+            "HARD_BG_RATIO": 0.8, "REG_FG_THRESH": 0.65,
+        },
+        "LOSS_CONFIG": {
+            "CLS_LOSS": "BinaryCrossEntropy", "REG_LOSS": "smooth-l1",
+            "CORNER_LOSS_REGULARIZATION": True,
+            "LOSS_WEIGHTS": {
+                "rcnn_cls_weight": 1.0, "rcnn_reg_weight": 1.0,
+                "rcnn_corner_weight": 1.0, "code_weights": [1.0] * 7,
+            },
+        },
     }
     for c in cfg["DENSE_HEAD"]["ANCHOR_GENERATOR_CONFIG"]:
         c["feature_map_stride"] = 8
@@ -51,7 +78,7 @@ class TestRoIAwarePool:
             pts, feats, jnp.ones(2, bool), rois, jnp.ones(1, bool),
             num_samples=8, grid_size=4,
         )
-        g = np.asarray(grids)[0, ..., 0]  # (4,4,4) indexed [z][y][x]
+        g = np.asarray(grids)[0, ..., 0]  # (4,4,4) indexed [x][y][z]
         assert g[0, 0, 0] == 1.0   # low corner
         assert g[3, 3, 3] == 2.0   # high corner
         assert g.sum() == 3.0      # nothing else
