@@ -5,13 +5,16 @@ PointHeadBox (per-point fg segmentation + box regression with
 PointResidualCoder) → PointRCNNHead (proposal NMS, RoI point pooling with
 canonical transform, refinement).
 
-TPU-first redesign notes (documented deviations):
-* ProposalTargetLayer's random fg/bg RoI subsampling (128 rois, fg ratio 0.5,
-  proposal_target_layer.py) is replaced by masked loss weighting over ALL
-  fixed-size rois — same objective, no dynamic shapes.
-* RoI feature extraction pools up to ROI_POINT_SAMPLES raw points per RoI via
-  masked rank-compaction (replacing the roipoint_pool3d CUDA op, SURVEY N3)
-  followed by a canonical-frame PointNet encoder.
+TPU-first redesign notes:
+* RoI feature extraction pools up to NUM_SAMPLED_POINTS points per RoI via
+  masked rank-compaction (replacing the roipoint_pool3d CUDA op, SURVEY N3).
+* The RoI head is the reference-exact PointRCNNHead: xyz_up_layer over the
+  5 prefix channels (canonical xyz + detached point score + normalized
+  depth), merge_down fusion, the 3-level single-scale SA chain (FPS + ball
+  query + shared MLP + maxpool, npoint -1 = group-all) and CLS_FC/REG_FC
+  stacks; proposal NMS / ProposalTargetLayer subsampling / canonical losses
+  and decode come from models/roi_head.py (parity-tested vs the reference's
+  own torch template).
 """
 from __future__ import annotations
 
@@ -23,11 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.geometry.boxes import points_in_boxes, rotate_points_along_z
-from ..core.geometry.iou import pairwise_iou3d
-from ..core.geometry.nms import nms_bev
 from ..core.voxel import VoxelGrid
-from . import losses
+from . import losses, roi_head
 from .pointnet2_backbone import PointNet2MSG, SharedMLP
+from .roi_head import make_fc_stack, roi_head_loss_cfg, roi_head_target_cfg
 
 
 # ---------------------------------------------------------------------------
@@ -162,28 +164,95 @@ def pool_roi_points(points_xyz, point_feats, points_valid, rois, roi_valid,
 
 
 class PointRCNNRoIHead(nn.Module):
-    """Canonical-frame PointNet encoder + cls/reg FCs."""
+    """Reference-exact PointRCNNHead encoder (pointrcnn_head.py:10-65,
+    131-168): xyz_up_layer over the 5 prefix channels, merge_down fusion of
+    [xyz_feats ‖ point_feats], the single-scale SA chain (FPS + ball query +
+    shared MLP + masked maxpool; npoint -1 groups all points into one
+    vector), then CLS_FC/REG_FC make_fc_layers. USE_BN=False (the shipped
+    config) uses biased Dense + ReLU, exactly the torch Conv2d(k=1) stacks.
+    """
 
-    num_samples: int = 128
-    mlp: Sequence[int] = (128, 128)
-    fc: Sequence[int] = (256, 256)
+    num_samples: int = 512
+    xyz_up: Sequence[int] = (128, 128)
+    sa_npoints: Sequence[int] = (128, 32, -1)
+    sa_radii: Sequence[float] = (0.2, 0.4, 100.0)
+    sa_nsamples: Sequence[int] = (16, 16, 16)
+    sa_mlps: Sequence[Sequence[int]] = (
+        (128, 128, 128), (128, 128, 256), (256, 256, 512)
+    )
+    cls_fc: Sequence[int] = (256, 256)
+    reg_fc: Sequence[int] = (256, 256)
+    dp_ratio: float = 0.0
+    use_bn: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _mlp(self, x, mask, widths, name, train):
+        from .vfe import MaskedBatchNorm
+
+        for i, w in enumerate(widths):
+            x = nn.Dense(int(w), use_bias=not self.use_bn,
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name=f"{name}_d{i}")(x)
+            if self.use_bn:
+                c = x.shape[-1]
+                fm = jnp.broadcast_to(mask, x.shape[:-1]).reshape(-1)
+                x = MaskedBatchNorm(momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype, name=f"{name}_bn{i}")(
+                    x.reshape(-1, c), fm, train
+                ).reshape(x.shape)
+            x = nn.relu(x)
+        return x
+
     @nn.compact
-    def __call__(self, local_xyz, feats, sample_valid, train: bool):
-        x = jnp.concatenate([local_xyz, feats], axis=-1)
-        x = SharedMLP(self.mlp, dtype=self.dtype, name="enc")(
-            x.astype(self.dtype), sample_valid[..., None], train
-        )
-        x = jnp.where(sample_valid[..., None], x, -jnp.inf)
-        pooled = jnp.max(x, axis=-2)
-        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
-        h = SharedMLP(self.fc, dtype=self.dtype, name="fc")(
-            pooled, jnp.ones(pooled.shape[:-1], bool)[..., None], train
-        )
-        cls = nn.Dense(1, param_dtype=jnp.float32, name="cls_out")(h)[..., 0]
-        reg = nn.Dense(7, param_dtype=jnp.float32, name="reg_out")(h)
-        return cls.astype(jnp.float32), reg.astype(jnp.float32)
+    def __call__(self, local_xyz, prefix, feats, sample_valid, train: bool):
+        """local_xyz (M, S, 3) canonical coords, prefix (M, S, 2)
+        [detached score, normalized depth], feats (M, S, C), valid (M, S)."""
+        from ..core import pointnet2 as P
+
+        xyz_in = jnp.concatenate([local_xyz, prefix], -1).astype(self.dtype)
+        xyz_f = self._mlp(xyz_in, sample_valid, self.xyz_up, "xyz_up", train)
+        merged = jnp.concatenate([xyz_f, feats.astype(self.dtype)], -1)
+        h = self._mlp(merged, sample_valid, (self.xyz_up[-1],),
+                      "merge_down", train)
+
+        xyz, v = local_xyz, sample_valid
+        for li, (np_, rad, ns, mlp) in enumerate(zip(
+                self.sa_npoints, self.sa_radii, self.sa_nsamples,
+                self.sa_mlps)):
+            if int(np_) > 0:
+                def fps_one(x, vv, k=int(np_)):
+                    idx = P.farthest_point_sample(x, vv, k)
+                    return idx, vv[idx]
+
+                idx, qv = jax.vmap(fps_one)(xyz, v)
+                q = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+
+                def query_one(sx, sv, kp, kv, r=float(rad), n=int(ns)):
+                    return P.ball_query(r, n, sx, sv, kp, kv)
+
+                gi, has = jax.vmap(query_one)(xyz, v, q, qv)
+                gx = jax.vmap(lambda x_, i_: jnp.take(x_, i_, axis=0))(
+                    xyz, gi) - q[:, :, None, :]
+                gf = jax.vmap(lambda f_, i_: jnp.take(f_, i_, axis=0))(h, gi)
+                g = jnp.concatenate([gx, gf], -1)  # use_xyz=True
+                m = has & qv
+                g = self._mlp(g, m[..., None], tuple(mlp), f"sa{li}", train)
+                g = jnp.where(m[..., None, None], g, -jnp.inf)
+                h = jnp.max(g, axis=2)
+                h = jnp.where(jnp.isfinite(h), h, 0.0)
+                xyz, v = q, qv
+            else:  # group_all
+                g = jnp.concatenate([xyz, h], -1)
+                g = self._mlp(g, v, tuple(mlp), f"sa{li}", train)
+                g = jnp.where(v[..., None], g, -jnp.inf)
+                h = jnp.max(g, axis=1)
+                h = jnp.where(jnp.isfinite(h), h, 0.0)
+
+        cls = make_fc_stack(tuple(self.cls_fc), 1, self.dp_ratio,
+                            dtype=self.dtype, name="cls_fc")(h, train)
+        reg = make_fc_stack(tuple(self.reg_fc), 7, self.dp_ratio,
+                            dtype=self.dtype, name="reg_fc")(h, train)
+        return (cls[..., 0].astype(jnp.float32), reg.astype(jnp.float32))
 
 
 class PointRCNN(nn.Module):
@@ -224,35 +293,75 @@ class PointRCNN(nn.Module):
             )
         )
         rh = cfg.ROI_HEAD
-        self.num_rois = int(rh.get("NMS_POST_MAXSIZE", 128))
+        pool_cfg = rh.get("ROI_POINT_POOL", {})
+        self.depth_normalizer = float(pool_cfg.get("DEPTH_NORMALIZER", 70.0))
+        extra = pool_cfg.get("POOL_EXTRA_WIDTH", (0.0, 0.0, 0.0))
+        # enlarge_box3d adds extra_width on each side (box_utils.py)
+        self.pool_extra = 2.0 * float(max(extra))
+        num_samples = int(pool_cfg.get(
+            "NUM_SAMPLED_POINTS", rh.get("ROI_POINT_SAMPLES", 512)))
+        sa = rh.get("SA_CONFIG", {})
         self.roi_head = PointRCNNRoIHead(
-            num_samples=int(rh.get("ROI_POINT_SAMPLES", 128)),
+            num_samples=num_samples,
+            xyz_up=tuple(rh.get("XYZ_UP_LAYER", (128, 128))),
+            sa_npoints=tuple(sa.get("NPOINTS", (128, 32, -1))),
+            sa_radii=tuple(sa.get("RADIUS", (0.2, 0.4, 100.0))),
+            sa_nsamples=tuple(sa.get("NSAMPLE", (16, 16, 16))),
+            sa_mlps=tuple(tuple(m) for m in sa.get(
+                "MLPS", ((128, 128, 128), (128, 128, 256), (256, 256, 512)))),
+            cls_fc=tuple(rh.get("CLS_FC", (256, 256))),
+            reg_fc=tuple(rh.get("REG_FC", (256, 256))),
+            dp_ratio=float(rh.get("DP_RATIO", 0.0)),
+            use_bn=bool(rh.get("USE_BN", False)),
             dtype=self.dtype,
         )
-        self.roi_pre_max = int(rh.get("NMS_PRE_MAXSIZE", 1024))
-        self.roi_nms_thresh = float(rh.get("NMS_THRESH", 0.8))
 
     def _stage1(self, batch, train: bool):
         feats = self.backbone(batch.points, batch.points_valid, train)
         cls_logits, box_codes = self.point_head(feats, batch.points_valid, train)
         return feats, cls_logits, box_codes
 
-    def _proposals(self, batch, cls_logits, box_codes):
-        """Per-frame NMS over decoded point boxes → fixed-size RoIs."""
-        scores = jnp.max(jax.nn.sigmoid(cls_logits), axis=-1)
+    def _proposals(self, batch, cls_logits, box_codes, train: bool):
+        """proposal_layer over decoded point boxes (roi_head_template.py:
+        45-102; the detector's batch_box_preds/batch_cls_preds contract)."""
         pred_cls = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32) + 1
         boxes = point_decode(
             box_codes, batch.points[..., :3], pred_cls, self.mean_sizes
         )
+        cls_scores = jnp.where(
+            batch.points_valid[..., None], jax.nn.sigmoid(cls_logits), 0.0
+        )
+        nms_cfg = roi_head.resolve_nms_cfg(self.cfg.ROI_HEAD, train)
+        return roi_head.proposal_layer(boxes, cls_scores, nms_cfg)
 
-        def one(bx, sc, valid, lb):
-            sel, keep = nms_bev(
-                bx, sc, self.roi_nms_thresh,
-                pre_max=self.roi_pre_max, post_max=self.num_rois, valid=valid,
+    def _pool_rois(self, batch, feats, cls_logits, rois, roi_valid):
+        """roipool3d (pointrcnn_head.py:88-129): pooled features =
+        [detached max cls score, depth/DEPTH_NORMALIZER - 0.5, backbone
+        features], canonical-frame xyz."""
+        score = jax.lax.stop_gradient(
+            jnp.max(jax.nn.sigmoid(cls_logits), axis=-1)
+        )
+        depth = (jnp.linalg.norm(batch.points[..., :3], axis=-1)
+                 / self.depth_normalizer - 0.5)
+        pf = jnp.concatenate(
+            [score[..., None], depth[..., None], feats], axis=-1
+        )
+
+        def pool_one(pts, f, pv, r, rv):
+            return pool_roi_points(
+                pts[..., :3], f, pv, r, rv, self.roi_head.num_samples,
+                extra=self.pool_extra,
             )
-            return bx[sel], jnp.where(keep, sc[sel], 0.0), keep, lb[sel]
 
-        return jax.vmap(one)(boxes, scores, batch.points_valid, pred_cls)
+        local_xyz, pooled, sample_valid = jax.vmap(pool_one)(
+            batch.points, pf, batch.points_valid, rois, roi_valid
+        )
+        b, r = rois.shape[0], rois.shape[1]
+        s = self.roi_head.num_samples
+        return (local_xyz.reshape(b * r, s, 3),
+                pooled[..., :2].reshape(b * r, s, 2),
+                pooled[..., 2:].reshape(b * r, s, -1),
+                sample_valid.reshape(b * r, s))
 
     def __call__(self, batch, train: bool = True):
         cfg = self.cfg
@@ -290,89 +399,65 @@ class PointRCNN(nn.Module):
             losses.weighted_smooth_l1(box_codes, reg_targets, reg_weights)
         ) / batch.points.shape[0]
 
-        # stage 2: RoI refinement
-        rois, roi_scores, roi_valid, roi_labels = self._proposals(
+        # stage 2: proposal layer → ProposalTargetLayer → PointRCNNHead
+        rois, roi_scores, roi_labels, _ = self._proposals(
             batch, jax.lax.stop_gradient(cls_logits),
-            jax.lax.stop_gradient(box_codes),
+            jax.lax.stop_gradient(box_codes), True,
+        )
+        rh_cfg = cfg.ROI_HEAD
+        key = (self.make_rng("sampler") if self.has_rng("sampler")
+               else jax.random.PRNGKey(0))
+        tgt = roi_head.assign_roi_targets(
+            key, rois, roi_labels, roi_scores, batch.gt_boxes,
+            batch.gt_valid, roi_head_target_cfg(rh_cfg),
+        )
+        m = tgt["rois"].shape[1]
+        roi_valid = jnp.ones((rois.shape[0], m), bool)
+        b = rois.shape[0]
+        local_xyz, prefix, roi_feats, sample_valid = self._pool_rois(
+            batch, feats, cls_logits, tgt["rois"], roi_valid
+        )
+        rcnn_cls, rcnn_reg = self.roi_head(
+            local_xyz, prefix, roi_feats, sample_valid, train
+        )
+        rcnn_loss, rtb = roi_head.roi_head_loss(
+            rcnn_cls.reshape(b, m), rcnn_reg.reshape(b, m, 7), tgt,
+            roi_head_loss_cfg(rh_cfg),
         )
 
-        def pool_one(pts, pf, pv, r, rv):
-            return pool_roi_points(
-                pts[..., :3], pf, pv, r, rv, self.roi_head.num_samples
-            )
-
-        local_xyz, roi_feats, sample_valid = jax.vmap(pool_one)(
-            batch.points, feats, batch.points_valid, rois, roi_valid
-        )
-        rcnn_cls, rcnn_reg = self.roi_head(local_xyz, roi_feats, sample_valid, train)
-
-        # RoI targets: IoU3D vs gt (proposal_target_layer semantics, masked
-        # weighting instead of subsampling)
-        def roi_iou_one(r, rv, gt, gv):
-            iou = pairwise_iou3d(r[:, :7], gt[:, :7])
-            iou = jnp.where(gv[None, :], iou, -1.0)
-            best = jnp.argmax(iou, axis=1)
-            return jnp.max(iou, axis=1), gt[best]
-
-        roi_iou, roi_gt = jax.vmap(roi_iou_one)(
-            rois, roi_valid, batch.gt_boxes, batch.gt_valid
-        )
-        rcfg = cfg.ROI_HEAD.get("TARGET_CONFIG", {})
-        fg_thresh = float(rcfg.get("CLS_FG_THRESH", 0.6))
-        bg_thresh = float(rcfg.get("CLS_BG_THRESH", 0.45))
-        reg_fg = float(rcfg.get("REG_FG_THRESH", 0.55))
-
-        cls_tgt = jnp.where(roi_iou > fg_thresh, 1.0, 0.0)
-        cls_cared = (roi_iou > fg_thresh) | (roi_iou < bg_thresh)
-        cls_cared = cls_cared & roi_valid
-        bce = jnp.clip(rcnn_cls, 0) - rcnn_cls * cls_tgt + jnp.log1p(
-            jnp.exp(-jnp.abs(rcnn_cls))
-        )
-        rcnn_cls_loss = jnp.sum(bce * cls_cared) / jnp.maximum(
-            jnp.sum(cls_cared), 1.0
-        )
-
-        # canonical-frame residual encode of matched gt vs roi
-        from .anchor_head import encode_boxes
-
-        reg_mask = (roi_iou > reg_fg) & roi_valid
-        roi_reg_tgt = encode_boxes(roi_gt[..., :7], rois[..., :7])
-        rw = reg_mask.astype(jnp.float32)
-        rw = rw / jnp.maximum(jnp.sum(rw, axis=1, keepdims=True), 1.0)
-        rcnn_reg_loss = jnp.sum(
-            losses.weighted_smooth_l1(rcnn_reg, roi_reg_tgt, rw)
-        ) / batch.points.shape[0]
-
-        total = cls_loss + reg_loss + rcnn_cls_loss + rcnn_reg_loss
+        total = cls_loss + reg_loss + rcnn_loss
         tb = {
             "point_cls_loss": cls_loss,
             "point_reg_loss": reg_loss,
-            "rcnn_cls_loss": rcnn_cls_loss,
-            "rcnn_reg_loss": rcnn_reg_loss,
+            "rcnn_cls_loss": rtb["rcnn_loss_cls"],
+            "rcnn_reg_loss": rtb["rcnn_loss_reg_total"],
             "rpn_loss": total,
         }
         return total, tb
 
     def predict(self, batch):
         feats, cls_logits, box_codes = self._stage1(batch, train=False)
-        rois, roi_scores, roi_valid, roi_labels = self._proposals(
-            batch, cls_logits, box_codes
+        rois, roi_scores, roi_labels, roi_valid = self._proposals(
+            batch, cls_logits, box_codes, False
         )
-
-        def pool_one(pts, pf, pv, r, rv):
-            return pool_roi_points(
-                pts[..., :3], pf, pv, r, rv, self.roi_head.num_samples
-            )
-
-        local_xyz, roi_feats, sample_valid = jax.vmap(pool_one)(
-            batch.points, feats, batch.points_valid, rois, roi_valid
+        b, r = rois.shape[0], rois.shape[1]
+        local_xyz, prefix, roi_feats, sample_valid = self._pool_rois(
+            batch, feats, cls_logits, rois, roi_valid
         )
         rcnn_cls, rcnn_reg = self.roi_head(
-            local_xyz, roi_feats, sample_valid, train=False
+            local_xyz, prefix, roi_feats, sample_valid, train=False
         )
-        from .anchor_head import decode_boxes
-
-        refined = decode_boxes(rcnn_reg, rois[..., :7])
-        scores = jax.nn.sigmoid(rcnn_cls) * roi_scores
-        scores = jnp.where(roi_valid, scores, 0.0)
-        return refined, scores, roi_labels, roi_valid
+        refined = roi_head.generate_predicted_boxes(
+            rois[..., :7], rcnn_reg.reshape(b, r, 7)
+        )
+        scores = jnp.where(roi_valid, jax.nn.sigmoid(rcnn_cls.reshape(b, r)),
+                           0.0)
+        return roi_head.final_nms(
+            refined, scores, roi_labels, roi_valid,
+            self.cfg.get("POST_PROCESSING", {
+                "SCORE_THRESH": 0.1,
+                "NMS_CONFIG": {"NMS_PRE_MAXSIZE": 1024,
+                               "NMS_POST_MAXSIZE": rois.shape[1],
+                               "NMS_THRESH": 0.1},
+            }),
+        )

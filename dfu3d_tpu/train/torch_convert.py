@@ -35,6 +35,8 @@ __all__ = [
     "centerpoint_pillar_mapping",
     "swin_mapping",
     "deeplab_ddn_mapping",
+    "voxelrcnn_head_mapping",
+    "pvrcnn_head_mapping",
     "apply_mapping",
 ]
 
@@ -256,6 +258,100 @@ def point_head_box_mapping(cls_fc=(256, 256), reg_fc=(256, 256),
             f"{ref_stack}.{3 * len(fc)}.weight", t_linear)
         m[("params",) + pfx + (f"{which}_out", "bias")] = (
             f"{ref_stack}.{3 * len(fc)}.bias", t_identity)
+    return m
+
+
+def t_fc(w):
+    """Linear / Conv1d(k=1) / Conv2d(k=1) weight → Dense kernel (in, out)."""
+    return np.asarray(w).reshape(w.shape[0], -1).T
+
+
+def _fc_between(m, ours, ref, n, dp=True):
+    """[Linear|Conv1d(no bias) + BN + ReLU (+ Dropout between blocks)]* —
+    the shared_fc/cls_fc/reg_fc towers (voxelrcnn_head.py:41-83,
+    pvrcnn_head.py:20-33) ↔ roi_head.FCStack fc{i}/bn{i}."""
+    idx = 0
+    for i in range(n):
+        m[("params",) + ours + (f"fc{i}", "kernel")] = (
+            f"{ref}.{idx}.weight", t_fc)
+        _bn(m, ours + (f"bn{i}",), f"{ref}.{idx + 1}")
+        idx += 3
+        if dp and i != n - 1:
+            idx += 1
+
+
+def _fc_make(m, ours, ref, n):
+    """make_fc_layers (roi_head_template.py:29-43: dropout after block 0,
+    biased pred conv appended) ↔ roi_head.FCStack fc{i}/bn{i}/out."""
+    idx = 0
+    for i in range(n):
+        m[("params",) + ours + (f"fc{i}", "kernel")] = (
+            f"{ref}.{idx}.weight", t_fc)
+        _bn(m, ours + (f"bn{i}",), f"{ref}.{idx + 1}")
+        idx += 3
+        if i == 0:
+            idx += 1
+    m[("params",) + ours + ("out", "kernel")] = (f"{ref}.{idx}.weight", t_fc)
+    m[("params",) + ours + ("out", "bias")] = (f"{ref}.{idx}.bias", t_identity)
+
+
+def voxelrcnn_head_mapping(shared_fc=(256, 256), cls_fc=(256, 256),
+                           reg_fc=(256, 256),
+                           pool_sources=("x_conv2", "x_conv3", "x_conv4"),
+                           ours_prefix=(), ref_prefix="roi_head"
+                           ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for VoxelRCNNHead (voxelrcnn_head.py:8-101):
+    NeighborVoxelSAModuleMSG pool layers (mlps_in/mlps_pos/mlps_out, single
+    scale per source) + Linear FC towers + separate pred layers."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    pfx = tuple(ours_prefix)
+    for i, src in enumerate(pool_sources):
+        base = f"{ref_prefix}.roi_grid_pool_layers.{i}"
+        o = pfx + (f"pool_{src}",)
+        m[("params",) + o + ("in_dense", "kernel")] = (
+            f"{base}.mlps_in.0.0.weight", t_fc)
+        _bn(m, o + ("in_bn",), f"{base}.mlps_in.0.1")
+        m[("params",) + o + ("pos_dense", "kernel")] = (
+            f"{base}.mlps_pos.0.0.weight", t_fc)
+        _bn(m, o + ("pos_bn",), f"{base}.mlps_pos.0.1")
+        m[("params",) + o + ("out_dense", "kernel")] = (
+            f"{base}.mlps_out.0.0.weight", t_fc)
+        _bn(m, o + ("out_bn",), f"{base}.mlps_out.0.1")
+    _fc_between(m, pfx + ("shared_fc",), f"{ref_prefix}.shared_fc_layer",
+                len(shared_fc))
+    _fc_between(m, pfx + ("cls_fc",), f"{ref_prefix}.cls_fc_layers",
+                len(cls_fc))
+    _fc_between(m, pfx + ("reg_fc",), f"{ref_prefix}.reg_fc_layers",
+                len(reg_fc))
+    for which in ("cls", "reg"):
+        m[("params",) + pfx + (f"{which}_pred", "kernel")] = (
+            f"{ref_prefix}.{which}_pred_layer.weight", t_fc)
+        m[("params",) + pfx + (f"{which}_pred", "bias")] = (
+            f"{ref_prefix}.{which}_pred_layer.bias", t_identity)
+    return m
+
+
+def pvrcnn_head_mapping(shared_fc=(256, 256), cls_fc=(256, 256),
+                        reg_fc=(256, 256), num_pool_groups=2,
+                        pool_mlp_depth=2, ours_prefix=(),
+                        ref_prefix="roi_head"
+                        ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for PVRCNNHead (pvrcnn_head.py:8-63): StackSAModuleMSG
+    grid-pool groups (Conv2d+BN2d shared MLPs over [rel_xyz ‖ feats]) +
+    Conv1d SHARED_FC tower + make_fc_layers cls/reg stacks."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    pfx = tuple(ours_prefix)
+    for g in range(num_pool_groups):
+        o = pfx + (f"grid_sa{g}", "SharedMLP_0")
+        base = f"{ref_prefix}.roi_grid_pool_layer.mlps.{g}"
+        for k in range(pool_mlp_depth):
+            m[("params",) + o + (f"dense_{k}", "kernel")] = (
+                f"{base}.{3 * k}.weight", t_fc)
+            _bn(m, o + (f"bn_{k}",), f"{base}.{3 * k + 1}")
+    _fc_between(m, pfx + ("shared_fc",), f"{ref_prefix}.shared_fc_layer",
+                len(shared_fc))
+    _fc_make(m, pfx + ("cls_fc",), f"{ref_prefix}.cls_layers", len(cls_fc))
+    _fc_make(m, pfx + ("reg_fc",), f"{ref_prefix}.reg_layers", len(reg_fc))
     return m
 
 

@@ -35,17 +35,53 @@ def prcnn_cfg():
                     }
                 },
             },
+            # reference pointrcnn.yaml ROI_HEAD schema at test scale
             "ROI_HEAD": {
                 "NAME": "PointRCNNHead",
-                "NMS_PRE_MAXSIZE": 128,
-                "NMS_POST_MAXSIZE": 16,
-                "NMS_THRESH": 0.8,
-                "ROI_POINT_SAMPLES": 32,
+                "CLASS_AGNOSTIC": True,
+                "ROI_POINT_POOL": {
+                    "POOL_EXTRA_WIDTH": [0.0, 0.0, 0.0],
+                    "NUM_SAMPLED_POINTS": 32,
+                    "DEPTH_NORMALIZER": 70.0,
+                },
+                "XYZ_UP_LAYER": [16, 16],
+                "CLS_FC": [16], "REG_FC": [16],
+                "DP_RATIO": 0.0, "USE_BN": False,
+                "SA_CONFIG": {
+                    "NPOINTS": [16, 8, -1],
+                    "RADIUS": [0.2, 0.4, 100],
+                    "NSAMPLE": [8, 8, 8],
+                    "MLPS": [[16, 16], [16, 32], [32, 32]],
+                },
+                "NMS_CONFIG": {
+                    "TRAIN": {"NMS_PRE_MAXSIZE": 128,
+                              "NMS_POST_MAXSIZE": 32, "NMS_THRESH": 0.8},
+                    "TEST": {"NMS_PRE_MAXSIZE": 128,
+                             "NMS_POST_MAXSIZE": 16, "NMS_THRESH": 0.85},
+                },
                 "TARGET_CONFIG": {
-                    "CLS_FG_THRESH": 0.6,
-                    "CLS_BG_THRESH": 0.45,
+                    "BOX_CODER": "ResidualCoder", "ROI_PER_IMAGE": 16,
+                    "FG_RATIO": 0.5, "SAMPLE_ROI_BY_EACH_CLASS": True,
+                    "CLS_SCORE_TYPE": "cls",
+                    "CLS_FG_THRESH": 0.6, "CLS_BG_THRESH": 0.45,
+                    "CLS_BG_THRESH_LO": 0.1, "HARD_BG_RATIO": 0.8,
                     "REG_FG_THRESH": 0.55,
                 },
+                "LOSS_CONFIG": {
+                    "CLS_LOSS": "BinaryCrossEntropy",
+                    "REG_LOSS": "smooth-l1",
+                    "CORNER_LOSS_REGULARIZATION": True,
+                    "LOSS_WEIGHTS": {
+                        "rcnn_cls_weight": 1.0, "rcnn_reg_weight": 1.0,
+                        "rcnn_corner_weight": 1.0,
+                        "code_weights": [1.0] * 7,
+                    },
+                },
+            },
+            "POST_PROCESSING": {
+                "SCORE_THRESH": 0.1,
+                "NMS_CONFIG": {"NMS_PRE_MAXSIZE": 128,
+                               "NMS_POST_MAXSIZE": 16, "NMS_THRESH": 0.1},
             },
         }
     )

@@ -296,3 +296,216 @@ class TestSubsampler:
         # canonical heading within [-pi/2, pi/2]
         h = np.asarray(out["gt_of_rois"])[..., 6]
         assert (np.abs(h) <= np.pi / 2 + 1e-5).all()
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-converter parity: the reference's own VoxelRCNNHead / PVRCNNHead
+# torch modules, random-initialised, converted through train/torch_convert,
+# must match our head stacks bit-close in eval mode.
+# ---------------------------------------------------------------------------
+
+import flax.linen as nn
+
+from dfu3d_tpu.models.roi_head import NeighborVoxelSA, make_fc_stack, shared_fc_stack
+from dfu3d_tpu.train import torch_convert as tc
+
+_POOL_LAYER = {
+    "MLPS": [[16, 16]], "QUERY_RANGES": [[4, 4, 4]],
+    "POOL_RADIUS": [0.4], "NSAMPLE": [8], "POOL_METHOD": "max_pool",
+}
+
+
+def _randomize_bn_stats(module, seed=3):
+    g = torch.Generator().manual_seed(seed)
+    for m in module.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+class _VoxFC(nn.Module):
+    """Our VoxelRCNN FC tower namespace (models/voxelrcnn.py setup)."""
+
+    @nn.compact
+    def __call__(self, flat, train=False):
+        h = shared_fc_stack((32, 32), 0.3, name="shared_fc")(flat, train)
+        cls = nn.Dense(1, name="cls_pred")(
+            shared_fc_stack((32,), 0.3, name="cls_fc")(h, train))
+        reg = nn.Dense(7, name="reg_pred")(
+            shared_fc_stack((32,), 0.3, name="reg_fc")(h, train))
+        return cls, reg
+
+
+class TestVoxelRCNNHeadConvert:
+    @pytest.fixture(scope="class")
+    def ref_head(self):
+        install_reference_stubs()
+        from pcdet.models.roi_heads.voxelrcnn_head import VoxelRCNNHead
+
+        cfg = EDict({
+            "CLASS_AGNOSTIC": True,
+            # CLS_FC[-1] must equal SHARED_FC[-1]: the reference head reuses
+            # pre_channel from the cls stack when building the reg stack
+            "SHARED_FC": [32, 32], "CLS_FC": [32], "REG_FC": [32],
+            "DP_RATIO": 0.3,
+            "ROI_GRID_POOL": {
+                "GRID_SIZE": 4,
+                "FEATURES_SOURCE": ["x_conv2", "x_conv3"],
+                "POOL_LAYERS": EDict({
+                    "x_conv2": dict(_POOL_LAYER),
+                    "x_conv3": dict(_POOL_LAYER),
+                }),
+            },
+            "TARGET_CONFIG": {"BOX_CODER": "ResidualCoder"},
+            "LOSS_CONFIG": LOSS_CFG,
+        })
+        with no_cuda():
+            torch.manual_seed(11)
+            head = VoxelRCNNHead(
+                backbone_channels={"x_conv2": 8, "x_conv3": 8},
+                model_cfg=cfg, point_cloud_range=[0, -1, -1, 1, 1, 1],
+                voxel_size=[0.1, 0.1, 0.1], num_class=1,
+            )
+        head.eval()
+        _randomize_bn_stats(head)
+        return head
+
+    def _state(self, ref_head):
+        return {f"roi_head.{k}": v.detach().numpy()
+                for k, v in ref_head.state_dict().items()}
+
+    def test_fc_tower_parity(self, ref_head):
+        n, d = 6, 4 ** 3 * 32  # g³ · ΣC
+        rng = np.random.RandomState(7)
+        x = rng.randn(n, d).astype(np.float32)
+
+        model = _VoxFC()
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        mapping = tc.voxelrcnn_head_mapping(
+            shared_fc=(32, 32), cls_fc=(32,), reg_fc=(32,), pool_sources=())
+        new_vars, report = tc.apply_mapping(
+            variables, self._state(ref_head), mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+
+        ours_cls, ours_reg = model.apply(new_vars, jnp.asarray(x))
+        with torch.no_grad():
+            tx = torch.from_numpy(x)
+            shared = ref_head.shared_fc_layer(tx)
+            ref_cls = ref_head.cls_pred_layer(ref_head.cls_fc_layers(shared))
+            ref_reg = ref_head.reg_pred_layer(ref_head.reg_fc_layers(shared))
+        np.testing.assert_allclose(np.asarray(ours_cls), ref_cls.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ours_reg), ref_reg.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_neighbor_pool_parity(self, ref_head):
+        """One grid point grouping ALL voxels: our NeighborVoxelSA with
+        converted weights vs the reference mlps_in/pos/out math
+        (voxel_pool_modules.py forward:71-126)."""
+        v, c = 24, 8
+        rng = np.random.RandomState(5)
+        vox_xyz = rng.uniform(-1, 1, (1, v, 3)).astype(np.float32)
+        feats = rng.randn(1, v, c).astype(np.float32)
+        grid = np.zeros((1, 1, 3), np.float32)
+
+        sa = NeighborVoxelSA(mlp_spec=(16, 16), radius=10.0, nsample=v)
+        variables = sa.init(
+            jax.random.PRNGKey(0), jnp.asarray(grid), jnp.ones((1, 1), bool),
+            jnp.asarray(vox_xyz), jnp.asarray(feats), jnp.ones((1, v), bool),
+            False,
+        )
+        full = tc.voxelrcnn_head_mapping(pool_sources=("x_conv2",))
+        mapping = {(k[0],) + k[2:]: val for k, val in full.items()
+                   if len(k) > 2 and k[1] == "pool_x_conv2"}
+        new_vars, report = tc.apply_mapping(
+            variables, self._state(ref_head), mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+
+        ours = sa.apply(
+            new_vars, jnp.asarray(grid), jnp.ones((1, 1), bool),
+            jnp.asarray(vox_xyz), jnp.asarray(feats), jnp.ones((1, v), bool),
+            False,
+        )
+        pl = ref_head.roi_grid_pool_layers[0]
+        with torch.no_grad():
+            fin = pl.mlps_in[0](torch.from_numpy(feats[0]).T[None])  # (1,16,V)
+            rel = torch.from_numpy(vox_xyz[0]).T[None, :, None, :]   # (1,3,1,V)
+            pos = pl.mlps_pos[0](rel)                                # (1,16,1,V)
+            h = torch.relu(fin[:, :, None, :] + pos)
+            pooled = h.max(dim=-1).values                            # (1,16,1)
+            out = pl.mlps_out[0](pooled)                             # (1,16,1)
+        np.testing.assert_allclose(
+            np.asarray(ours)[0, 0], out[0, :, 0].numpy(),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+class _PVFC(nn.Module):
+    """Our PVRCNN FC tower namespace (models/pvrcnn.py _setup_roi_fc)."""
+
+    @nn.compact
+    def __call__(self, flat, train=False):
+        h = shared_fc_stack((32, 32), 0.3, name="shared_fc")(flat, train)
+        cls = make_fc_stack((16,), 1, 0.3, name="cls_fc")(h, train)
+        reg = make_fc_stack((16,), 7, 0.3, name="reg_fc")(h, train)
+        return cls, reg
+
+
+class TestPVRCNNHeadConvert:
+    @pytest.fixture(scope="class")
+    def ref_head(self):
+        install_reference_stubs()
+        from pcdet.models.roi_heads.pvrcnn_head import PVRCNNHead
+
+        cfg = EDict({
+            "CLASS_AGNOSTIC": True,
+            "SHARED_FC": [32, 32], "CLS_FC": [16], "REG_FC": [16],
+            "DP_RATIO": 0.3,
+            "ROI_GRID_POOL": {
+                "GRID_SIZE": 4, "MLPS": [[16, 16], [16, 16]],
+                "POOL_RADIUS": [0.8, 1.6], "NSAMPLE": [8, 8],
+                "POOL_METHOD": "max_pool",
+            },
+            "TARGET_CONFIG": {"BOX_CODER": "ResidualCoder"},
+            "LOSS_CONFIG": LOSS_CFG,
+        })
+        with no_cuda():
+            torch.manual_seed(13)
+            head = PVRCNNHead(input_channels=8, model_cfg=cfg, num_class=1)
+        head.eval()
+        _randomize_bn_stats(head, seed=4)
+        return head
+
+    def test_fc_tower_parity(self, ref_head):
+        """Includes the channel-major flatten: pooled (N, g³, C) →
+        permute(0, 2, 1).view(N, -1, 1) on the torch side, swapaxes+reshape
+        on ours (pvrcnn_head.py forward:154-158)."""
+        n, g3, c = 6, 4 ** 3, 32
+        rng = np.random.RandomState(9)
+        pooled = rng.randn(n, g3, c).astype(np.float32)
+
+        ours_flat = jnp.swapaxes(jnp.asarray(pooled), 1, 2).reshape(n, -1)
+        model = _PVFC()
+        variables = model.init(jax.random.PRNGKey(0), ours_flat)
+        state = {f"roi_head.{k}": v.detach().numpy()
+                 for k, v in ref_head.state_dict().items()}
+        mapping = tc.pvrcnn_head_mapping(
+            shared_fc=(32, 32), cls_fc=(16,), reg_fc=(16,),
+            num_pool_groups=0)
+        new_vars, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+
+        ours_cls, ours_reg = model.apply(new_vars, ours_flat)
+        with torch.no_grad():
+            tx = (torch.from_numpy(pooled).permute(0, 2, 1).contiguous()
+                  .view(n, -1, 1))
+            shared = ref_head.shared_fc_layer(tx)
+            ref_cls = ref_head.cls_layers(shared).squeeze(-1)
+            ref_reg = ref_head.reg_layers(shared).squeeze(-1)
+        np.testing.assert_allclose(np.asarray(ours_cls), ref_cls.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ours_reg), ref_reg.numpy(),
+                                   rtol=1e-4, atol=1e-4)
