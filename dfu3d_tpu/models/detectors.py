@@ -223,18 +223,7 @@ class CenterPoint(nn.Module):
 
 
 from .pointpillar import PointPillar, SECONDNet  # noqa: E402
-
-
-class SECONDNetIoU(SECONDNet):
-    """SECOND + per-anchor IoU head with score rectification (reference:
-    detectors/second_net_iou.py). Enabled by forcing USE_IOU_HEAD in the
-    dense-head config."""
-
-    @property
-    def cfg(self):
-        c = super().cfg
-        c.DENSE_HEAD["USE_IOU_HEAD"] = True
-        return c
+from .second_iou import SECONDNetIoU  # noqa: E402
 from .pillarnet import PillarNet  # noqa: E402
 from .pointrcnn import PointRCNN  # noqa: E402
 from .voxelnext import VoxelNeXt  # noqa: E402

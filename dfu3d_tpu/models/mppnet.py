@@ -30,12 +30,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..core.geometry.iou import pairwise_iou3d
-from ..core.geometry.nms import nms_bev
 from ..core.voxel import dynamic_voxelize
 from ..core.voxel.sparse_ops import SparseGrid
-from . import losses
-from .anchor_head import decode_anchor_predictions, decode_boxes, encode_boxes
+from . import roi_head as rh_template
+from .anchor_head import decode_anchor_predictions
 from .mppnet_head import MPPNetHead, generate_trajectory
 from .pointpillar import AnchorDetectorBase
 from .sparse_backbone import VoxelBackBone8x, height_compression
@@ -121,22 +119,13 @@ class MPPNet(AnchorDetectorBase):
     def _features(self, batch, train: bool):
         return self._rpn(batch, train)
 
-    def _proposals(self, rpn_preds):
+    def _proposals(self, rpn_preds, train: bool):
         boxes, cls_scores = decode_anchor_predictions(
             rpn_preds, jnp.asarray(self._anchors_flat), len(self.class_names)
         )
-        scores = jnp.max(cls_scores, axis=-1)
-
-        def one(bx, sc):
-            sel, keep = nms_bev(
-                bx, sc, self.roi_nms_thresh,
-                pre_max=min(self.roi_pre_max, bx.shape[0]),
-                post_max=self.num_rois,
-            )
-            return bx[sel], jnp.where(keep, sc[sel], 0.0), keep
-
-        return jax.vmap(one)(jax.lax.stop_gradient(boxes),
-                             jax.lax.stop_gradient(scores))
+        nms_cfg = rh_template.resolve_nms_cfg(self.cfg.get("ROI_HEAD", {}),
+                                              train)
+        return rh_template.proposal_layer(boxes, cls_scores, nms_cfg)
 
     def _trajectory(self, rois, roi_valid):
         """Trajectory rois via the reference's velocity-propagate + IoU-match
@@ -154,37 +143,20 @@ class MPPNet(AnchorDetectorBase):
         return generate_trajectory(rois, roi_valid, proposals_list,
                                    proposals_valid)
 
-    def _head_losses(self, out, rois, roi_valid, batch):
-        """Deep-supervised rcnn losses (ref get_box_cls/reg_layer_loss)."""
+    def _head_losses(self, out, tgt):
+        """Deep-supervised rcnn losses over the ProposalTargetLayer targets
+        (ref mppnet_head.get_loss: template cls/reg losses per layer + aux)."""
+        loss_cfg = rh_template.roi_head_loss_cfg(self.cfg.get("ROI_HEAD", {}))
 
-        def roi_iou_one(rr, rv, gt, gv):
-            iou = pairwise_iou3d(rr[:, :7], gt[:, :7])
-            iou = jnp.where(gv[None, :], iou, -1.0)
-            return jnp.max(iou, axis=1), gt[jnp.argmax(iou, axis=1)]
-
-        roi_iou, roi_gt = jax.vmap(roi_iou_one)(
-            rois, roi_valid, batch.gt_boxes, batch.gt_valid
-        )
-        cls_t = jnp.where(roi_iou > 0.6, 1.0, 0.0)
-        cared = ((roi_iou > 0.6) | (roi_iou < 0.45)) & roi_valid
-
-        def bce(logits):
-            raw = jnp.clip(logits, 0) - logits * cls_t + jnp.log1p(
-                jnp.exp(-jnp.abs(logits))
-            )
-            return jnp.sum(raw * cared) / jnp.maximum(jnp.sum(cared), 1.0)
+        def cls_loss(logits):
+            return rh_template.roi_cls_loss(
+                logits, tgt["rcnn_cls_labels"], loss_cfg)
 
         # per-layer deep supervision on the class logits (ref point_cls)
-        rcnn_cls_loss = jnp.mean(jax.vmap(bce)(out["cls_layers"]))
-
-        reg_mask = (roi_iou > 0.55) & roi_valid
-        reg_t = encode_boxes(roi_gt[..., :7], rois[..., :7])
-        rw = reg_mask.astype(jnp.float32)
-        rw = rw / jnp.maximum(jnp.sum(rw, axis=1, keepdims=True), 1.0)
-        bsz = rois.shape[0]
+        rcnn_cls_loss = jnp.mean(jax.vmap(cls_loss)(out["cls_layers"]))
 
         def reg_loss(pred):
-            return jnp.sum(losses.weighted_smooth_l1(pred, reg_t, rw)) / bsz
+            return rh_template.roi_reg_loss(pred, tgt, loss_cfg)[0]
 
         rcnn_reg_loss = reg_loss(out["rcnn_reg"])
         # aux: per-layer/per-group token regressions + trajectory branch
@@ -209,22 +181,39 @@ class MPPNet(AnchorDetectorBase):
              "dir_weight": lw.get("dir_weight", 0.2),
              "code_weights": lw.get("code_weights", None)},
         )
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        rois, roi_scores, roi_labels, roi_valid = self._proposals(
+            rpn_preds, True
+        )
         traj, traj_valid = self._trajectory(rois, roi_valid)
+        # ProposalTargetLayerMPPNet: template subsampling at trajectory
+        # frame 0, side tensors gathered with the sampled indices
+        # (mppnet_head.py sample_rois_for_mppnet:100-160)
+        key = (self.make_rng("sampler") if self.has_rng("sampler")
+               else jax.random.PRNGKey(0))
+        tgt = rh_template.assign_roi_targets(
+            key, rois, roi_labels, roi_scores, batch.gt_boxes,
+            batch.gt_valid,
+            rh_template.roi_head_target_cfg(self.cfg.get("ROI_HEAD", {})),
+        )
+        idx = tgt["sampled_idx"]
+        s_traj = jnp.take_along_axis(traj, idx[:, None, :, None], axis=2)
+        s_tvalid = jnp.take_along_axis(traj_valid, idx[:, None, :], axis=2)
+        m = idx.shape[1]
+        s_valid = jnp.ones((rois.shape[0], m), bool)
         out = self.roi_head(
-            rois, roi_valid, traj, traj_valid, batch.points,
+            tgt["rois"], s_valid, s_traj, s_tvalid, batch.points,
             batch.points_valid, train,
         )
-        rcnn_cls_loss, rcnn_reg_loss = self._head_losses(
-            out, rois, roi_valid, batch
-        )
+        rcnn_cls_loss, rcnn_reg_loss = self._head_losses(out, tgt)
         total = total + rcnn_cls_loss + rcnn_reg_loss
         tb.update({"rcnn_cls_loss": rcnn_cls_loss,
                    "rcnn_reg_loss": rcnn_reg_loss})
         return total, tb
 
     def _refine(self, out, rois, roi_scores, roi_valid):
-        refined = decode_boxes(out["rcnn_reg"], rois[..., :7])
+        refined = rh_template.generate_predicted_boxes(
+            rois[..., :7], out["rcnn_reg"]
+        )
         # AVG_STAGE1_SCORE geometric mean (ref mppnet_head.py:784)
         scores = jnp.sqrt(
             jax.nn.sigmoid(out["rcnn_cls"]) * jnp.maximum(roi_scores, 1e-8)
@@ -235,7 +224,9 @@ class MPPNet(AnchorDetectorBase):
 
     def predict(self, batch):
         rpn_preds = self._rpn(batch, train=False)
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        rois, roi_scores, roi_labels, roi_valid = self._proposals(
+            rpn_preds, False
+        )
         traj, traj_valid = self._trajectory(rois, roi_valid)
         out = self.roi_head(
             rois, roi_valid, traj, traj_valid, batch.points,
@@ -266,11 +257,15 @@ class MPPNetE2E(MPPNet):
         per-frame geometry features for the history, roll the bank
         (ref mppnet_memory_bank_e2e.py:360-466 reorder + feature_bank)."""
         rpn_preds = self._rpn(batch, train=False)
-        rois, roi_scores, roi_valid = self._proposals(rpn_preds)
+        rois, roi_scores, roi_labels, roi_valid = self._proposals(
+            rpn_preds, False
+        )
         traj, traj_valid = self._trajectory(rois, roi_valid)
 
         def match_bank(traj_f, tv, b_rois, b_feat, b_valid):
             # reorder one bank frame onto the current trajectory by 3D IoU
+            from ..core.geometry.iou import pairwise_iou3d
+
             iou = pairwise_iou3d(traj_f[:, :7], b_rois[:, :7])
             iou = jnp.where(b_valid[None, :], iou, -1.0)
             best = jnp.argmax(iou, axis=1)

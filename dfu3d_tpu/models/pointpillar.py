@@ -264,7 +264,7 @@ class SECONDNet(AnchorDetectorBase):
         self._setup_backbone2d(cfg)
         self._setup_anchors(cfg)
 
-    def _features(self, batch, train: bool):
+    def _spatial_features(self, batch, train: bool):
         # MeanVFE: on-device voxelization + per-voxel feature mean
         def voxelize_one(points, valid):
             vox = dynamic_voxelize(self.grid, points, valid, self.max_voxels)
@@ -284,5 +284,7 @@ class SECONDNet(AnchorDetectorBase):
         )
         st = self.backbone_3d(feats, coords, valid, train)
         bev = height_compression(st).astype(self.dtype)
-        spatial = self.backbone_2d(bev, train)
-        return self.dense_head(spatial)
+        return self.backbone_2d(bev, train)
+
+    def _features(self, batch, train: bool):
+        return self.dense_head(self._spatial_features(batch, train))

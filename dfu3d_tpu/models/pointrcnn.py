@@ -186,24 +186,61 @@ class PointRCNNRoIHead(nn.Module):
     use_bn: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    def _mlp(self, x, mask, widths, name, train):
+    def _make_stack(self, widths, name, bn):
         from .vfe import MaskedBatchNorm
 
-        for i, w in enumerate(widths):
-            x = nn.Dense(int(w), use_bias=not self.use_bn,
-                         dtype=self.dtype, param_dtype=jnp.float32,
-                         name=f"{name}_d{i}")(x)
-            if self.use_bn:
+        denses = tuple(
+            nn.Dense(int(w), use_bias=not bn, dtype=self.dtype,
+                     param_dtype=jnp.float32, name=f"{name}_d{i}")
+            for i, w in enumerate(widths)
+        )
+        bns = tuple(
+            MaskedBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                            name=f"{name}_bn{i}")
+            for i in range(len(widths))
+        ) if bn else ()
+        return denses, bns
+
+    def setup(self):
+        """All stacks are declared here (not in a compact __call__) so parity
+        tests can drive sub-stages via apply(method=...) — mirroring the
+        torch module's __init__-declared layers (pointrcnn_head.py:19-65)."""
+        self.xyz_up_dense, self.xyz_up_bn = self._make_stack(
+            self.xyz_up, "xyz_up", self.use_bn)
+        self.merge_dense, self.merge_bn = self._make_stack(
+            (self.xyz_up[-1],), "merge_down", self.use_bn)
+        sa = tuple(self._make_stack(tuple(m), f"sa{li}", True)
+                   for li, m in enumerate(self.sa_mlps))
+        self.sa_dense = tuple(d for d, _ in sa)
+        self.sa_bn = tuple(b for _, b in sa)
+        self.cls_stack = make_fc_stack(tuple(self.cls_fc), 1, self.dp_ratio,
+                                       dtype=self.dtype, name="cls_fc")
+        self.reg_stack = make_fc_stack(tuple(self.reg_fc), 7, self.dp_ratio,
+                                       dtype=self.dtype, name="reg_fc")
+
+    def _mlp(self, x, mask, widths, name, train, bn=None):
+        """bn=None honors USE_BN (xyz_up/merge_down, pointrcnn_head.py:
+        19-32); the SA stacks pass bn=True — the reference's batch
+        PointnetSAModuleMSG always builds Conv2d(bias=False)+BN2d+ReLU
+        regardless of the flag (pointnet2_batch/pointnet2_modules.py:90-97).
+        """
+        if name == "xyz_up":
+            denses, bns = self.xyz_up_dense, self.xyz_up_bn
+        elif name == "merge_down":
+            denses, bns = self.merge_dense, self.merge_bn
+        else:
+            li = int(name[2:])
+            denses, bns = self.sa_dense[li], self.sa_bn[li]
+        x = x.astype(self.dtype)
+        for i, dense in enumerate(denses):
+            x = dense(x)
+            if bns:
                 c = x.shape[-1]
                 fm = jnp.broadcast_to(mask, x.shape[:-1]).reshape(-1)
-                x = MaskedBatchNorm(momentum=0.9, epsilon=1e-5,
-                                    dtype=self.dtype, name=f"{name}_bn{i}")(
-                    x.reshape(-1, c), fm, train
-                ).reshape(x.shape)
+                x = bns[i](x.reshape(-1, c), fm, train).reshape(x.shape)
             x = nn.relu(x)
         return x
 
-    @nn.compact
     def __call__(self, local_xyz, prefix, feats, sample_valid, train: bool):
         """local_xyz (M, S, 3) canonical coords, prefix (M, S, 2)
         [detached score, normalized depth], feats (M, S, C), valid (M, S)."""
@@ -236,22 +273,21 @@ class PointRCNNRoIHead(nn.Module):
                 gf = jax.vmap(lambda f_, i_: jnp.take(f_, i_, axis=0))(h, gi)
                 g = jnp.concatenate([gx, gf], -1)  # use_xyz=True
                 m = has & qv
-                g = self._mlp(g, m[..., None], tuple(mlp), f"sa{li}", train)
+                g = self._mlp(g, m[..., None], tuple(mlp), f"sa{li}", train,
+                              bn=True)
                 g = jnp.where(m[..., None, None], g, -jnp.inf)
                 h = jnp.max(g, axis=2)
                 h = jnp.where(jnp.isfinite(h), h, 0.0)
                 xyz, v = q, qv
             else:  # group_all
                 g = jnp.concatenate([xyz, h], -1)
-                g = self._mlp(g, v, tuple(mlp), f"sa{li}", train)
+                g = self._mlp(g, v, tuple(mlp), f"sa{li}", train, bn=True)
                 g = jnp.where(v[..., None], g, -jnp.inf)
                 h = jnp.max(g, axis=1)
                 h = jnp.where(jnp.isfinite(h), h, 0.0)
 
-        cls = make_fc_stack(tuple(self.cls_fc), 1, self.dp_ratio,
-                            dtype=self.dtype, name="cls_fc")(h, train)
-        reg = make_fc_stack(tuple(self.reg_fc), 7, self.dp_ratio,
-                            dtype=self.dtype, name="reg_fc")(h, train)
+        cls = self.cls_stack(h, train)
+        reg = self.reg_stack(h, train)
         return (cls[..., 0].astype(jnp.float32), reg.astype(jnp.float32))
 
 

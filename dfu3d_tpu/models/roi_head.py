@@ -280,12 +280,12 @@ def assign_roi_targets(key, rois, roi_labels, roi_scores, gt_boxes, gt_valid,
             [gt[:, :7], gt_labels[:, None].astype(gt.dtype)], axis=-1
         )
         return (r[sampled][:, :7], rl[sampled], rs[sampled],
-                overlaps[sampled], gt_of[assignment[sampled]])
+                overlaps[sampled], gt_of[assignment[sampled]], sampled)
 
     keys = jax.random.split(key, rois.shape[0])
-    s_rois, s_labels, s_scores, s_ious, gt_of_rois = jax.vmap(one)(
-        keys, rois, roi_labels, roi_scores, gt_boxes, gt_valid
-    )
+    s_rois, s_labels, s_scores, s_ious, gt_of_rois, sampled_idx = jax.vmap(
+        one
+    )(keys, rois, roi_labels, roi_scores, gt_boxes, gt_valid)
 
     reg_valid_mask = (s_ious > float(tcfg["REG_FG_THRESH"])).astype(jnp.int32)
 
@@ -316,6 +316,10 @@ def assign_roi_targets(key, rois, roi_labels, roi_scores, gt_boxes, gt_valid,
         "gt_of_rois_src": gt_of_rois_src,
         "reg_valid_mask": reg_valid_mask,
         "rcnn_cls_labels": cls_labels,
+        # indices into the proposal axis — for gathering side tensors that
+        # ride along with the sampled rois (MPPNet trajectory_rois,
+        # mppnet_head.py sample_rois_for_mppnet:100-160)
+        "sampled_idx": sampled_idx,
     }
 
 

@@ -378,13 +378,18 @@ class SparseConv3dDown(nn.Module):
             # gather-only backward: build the output cell map + transpose
             # table (cheap scatters / element takes) so dX is a gather too
             out_cmap = _batched_cell_map(down, out_coords, out_valid)
-            # packed 2×2×2-window transpose table for full-3D strides; the
-            # z_only conv_out (K=3, small map) keeps the element path
+            # packed 2×2×2-window transpose table for full-3D 3³ strides;
+            # the z_only conv_out (K=3, small map) and wider kernels
+            # (SPCONV_KERNEL_SIZES 5 in voxelnext_ioubranch_large) keep the
+            # element path
             if self.z_only:
                 t_fn = lambda ic, iv, m: transpose_down_neighbors(  # noqa: E731
                     down, ic, iv, m, self.out_cap, offsets, z_only=True)
-            else:
+            elif tuple(ks) == (3, 3, 3):
                 t_fn = lambda ic, iv, m: transpose_down_neighbors_packed(  # noqa: E731
+                    down, ic, iv, m, self.out_cap, offsets)
+            else:
+                t_fn = lambda ic, iv, m: transpose_down_neighbors(  # noqa: E731
                     down, ic, iv, m, self.out_cap, offsets)
             tnbr = jax.lax.optimization_barrier(
                 jax.vmap(t_fn)(st.coords, st.valid, out_cmap)
@@ -537,6 +542,69 @@ def voxel_centers_of(st: SparseTensor, base_grid_size, point_cloud_range,
     pcr = jnp.asarray(point_cloud_range, jnp.float32)
     vs = jnp.asarray(base_voxel_size, jnp.float32) * stride
     return (st.coords.astype(jnp.float32) + 0.5) * vs + pcr[0:3]
+
+
+class VoxelResBackBone8xVoxelNeXt(nn.Module):
+    """The VoxelNeXt residual encoder (reference
+    spconv_backbone_voxelnext.py:69-200): conv_input SubM + 2 res blocks,
+    then five (strided down + 2 res blocks) stages at strides 2/4/8/16/32
+    with per-stage SPCONV_KERNEL_SIZES on the down convs. Returns the
+    stride-8/16/32 stages — the detector scales conv5/conv6 coords back onto
+    the stride-8 grid, row-concatenates and z-collapses (bev_out)."""
+
+    grid: "SparseGrid"
+    voxel_cap: int
+    channels: Sequence[int] = (16, 32, 64, 128, 128)
+    kernel_sizes: Sequence[int] = (3, 3, 3, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, coords, valid, train: bool):
+        st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
+        offsets3 = kernel_offsets(3, 3, 3)
+
+        def stage_tables(st):
+            cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+            nbr = _batched_neighbors(
+                st.grid, st.coords, st.valid, st.coords, st.valid, offsets3,
+                cmap=cmap,
+            )
+            return cmap, nbr
+
+        def down_bn_relu(st, ch, cap, cmap, k, name):
+            st = SparseConv3dDown(
+                ch, out_cap=cap, kernel_size=(k, k, k), dtype=self.dtype,
+                name=name,
+            )(st, in_cmap=cmap if k == 3 else None, train=train)
+            x = nn.relu(SparseBatchNorm(dtype=self.dtype, name=f"{name}_bn")(
+                st.features, st.valid, train))
+            x = jnp.where(st.valid[..., None], x, 0.0)
+            return SparseTensor(x, st.coords, st.valid, st.grid)
+
+        ch = tuple(self.channels)
+        ks = tuple(self.kernel_sizes)
+        cap = self.voxel_cap
+        cmap, nbr = stage_tables(st)
+        st = SparseConvBlock(ch[0], dtype=self.dtype, name="conv_input")(
+            st, train, nbr)
+        st = SparseResBlock(ch[0], dtype=self.dtype, name="res1a")(st, train, nbr)
+        st = SparseResBlock(ch[0], dtype=self.dtype, name="res1b")(st, train, nbr)
+
+        stages = {}
+        caps = (max(cap // 2, 16), max(cap // 4, 16), max(cap // 8, 16),
+                max(cap // 16, 16), max(cap // 32, 16))
+        for i in range(5):  # conv2..conv6 at strides 2/4/8/16/32
+            c = ch[min(i + 1, len(ch) - 1)]
+            st = down_bn_relu(st, c, caps[i], cmap, ks[min(i, len(ks) - 1)],
+                              name=f"down{i + 2}")
+            cmap, nbr = stage_tables(st)
+            st = SparseResBlock(c, dtype=self.dtype, name=f"res{i + 2}a")(
+                st, train, nbr)
+            st = SparseResBlock(c, dtype=self.dtype, name=f"res{i + 2}b")(
+                st, train, nbr)
+            if i >= 2:
+                stages[f"st{2 ** (i + 1)}"] = st
+        return stages["st8"], stages["st16"], stages["st32"]
 
 
 class SparseResBlock(nn.Module):

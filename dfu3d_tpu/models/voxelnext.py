@@ -2,15 +2,19 @@
 
 Reference: pcdet/models/detectors/voxelnext.py + backbones_3d
 VoxelResBackBone8xVoxelNeXt + dense_heads/voxelnext_head.py (559 LoC sparse
-head). Capability re-design on this repo's sparse substrate:
+head). Reference-exact structure on this repo's sparse substrate:
 
-* backbone: VoxelBackBone8x stages to stride 8, plus two extra downsample
-  stages (strides 16/32) whose voxels are mapped back onto the stride-8 grid
-  and concatenated (the VoxelNeXt multi-scale trick), then a sparse
-  height-collapse: unique (x, y) BEV cells with feature summation over z —
-  no dense BEV tensor is ever built.
-* head: SubM 2D (3, 3, 1) blocks over the sparse BEV set + per-voxel linear
-  heads (hm per class, center/center_z/dim/rot).
+* backbone (BACKBONE_3D.NAME VoxelResBackBone8xVoxelNeXt): the residual
+  encoder of spconv_backbone_voxelnext.py — conv_input + 2 res blocks, five
+  (strided down + 2 res) stages at strides 2..32 with SPCONV_KERNEL_SIZES —
+  conv5/conv6 coords scaled back onto the stride-8 grid, row-concatenated
+  and z-collapsed by per-cell feature summation (bev_out), then conv_out +
+  shared_conv over the sparse BEV set. No dense BEV tensor is ever built.
+  (A legacy compact path keeps the old VoxelBackBone8x + plain downs.)
+* head: one SeparateHead per CLASS_NAMES_EACH_HEAD group — each branch
+  (num_conv−1) × [SubM2d(KERNEL_SIZE_HEAD) + BN + ReLU] + biased 1×1 pred
+  (hm bias −2.19); per-class regressions decode from the class's own group
+  branch (reg stacked (B, V, G, D)).
 * targets: each gt box claims its nearest active BEV voxel (heatmap 1) with a
   distance-gaussian on the remaining voxels (centernet_utils.
   draw_gaussian_to_heatmap_voxels semantics).
@@ -36,7 +40,46 @@ from .sparse_backbone import (
     SparseBatchNorm,
     SparseTensor,
     VoxelBackBone8x,
+    VoxelResBackBone8xVoxelNeXt,
 )
+
+
+class VoxelNeXtSeparateHead(nn.Module):
+    """SeparateHead for one class group (voxelnext_head.py:13-47): each
+    branch is (num_conv−1) × [SubM2d(k) + BN + ReLU] + a biased 1×1 pred
+    (hm bias init −2.19). KERNEL_SIZE_HEAD=1 (the nuScenes config) makes the
+    stack pointwise. Deviation: USE_BIAS_BEFORE_NORM's conv bias is folded
+    into the following BN (exact at eval; converter folds it into the
+    running mean)."""
+
+    num_hm_out: int
+    head_dict: Any            # branch -> {out_channels, num_conv}
+    num_hm_conv: int = 2
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, bev: SparseTensor, train: bool):
+        branches = {k: dict(v) for k, v in dict(self.head_dict).items()}
+        branches["hm"] = {"out_channels": self.num_hm_out,
+                          "num_conv": self.num_hm_conv}
+        k = int(self.kernel_size)
+        outs = {}
+        for name in sorted(branches):
+            d = branches[name]
+            st = bev
+            for i in range(int(d["num_conv"]) - 1):
+                st = SparseConvBlock(
+                    bev.features.shape[-1], kernel_size=(k, k, 1),
+                    dtype=self.dtype, name=f"{name}_conv{i}",
+                )(st, train)
+            bias_init = (nn.initializers.constant(-2.19) if name == "hm"
+                         else nn.initializers.zeros)
+            outs[name] = nn.Dense(
+                int(d["out_channels"]), param_dtype=jnp.float32,
+                bias_init=bias_init, name=f"{name}_out",
+            )(st.features.astype(jnp.float32))
+        return outs
 
 
 def sparse_bev_collapse(st: SparseTensor, out_cap: int):
@@ -83,52 +126,102 @@ class VoxelNeXt(nn.Module):
         cfg = self.cfg
         nx, ny, nz = self.grid.grid_size
         bb3d = cfg.get("BACKBONE_3D", {})
-        self.backbone_3d = VoxelBackBone8x(
-            grid=SparseGrid(nx, ny, nz),
-            voxel_cap=self.max_voxels,
-            channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
-            out_channels=bb3d.get("OUT_CHANNELS", 128),
-            dtype=self.dtype,
-        )
-        ch = bb3d.get("OUT_CHANNELS", 128)
-        self.down16 = SparseConv3dDown(
-            ch, out_cap=max(self.max_voxels // 16, 16), dtype=self.dtype
-        )
-        self.down32 = SparseConv3dDown(
-            ch, out_cap=max(self.max_voxels // 32, 16), dtype=self.dtype
-        )
         dh = cfg.DENSE_HEAD
-        self.shared_blocks = [
-            SparseConvBlock(
-                dh.get("SHARED_CONV_CHANNEL", 128), kernel_size=(3, 3, 1),
-                dtype=self.dtype, name=f"bev_block{i}",
-            )
-            for i in range(dh.get("NUM_SHARED_BLOCKS", 2))
-        ]
-        self.hm_head = nn.Dense(len(self.class_names), param_dtype=jnp.float32,
-                                bias_init=nn.initializers.constant(-2.19),
-                                name="hm_head")
-        # velocity regression ('vel' in HEAD_ORDER — nuScenes configs):
-        # (vx, vy) ride as reg channels 8:10, before the optional iou channel
-        self.use_vel = "vel" in list(
-            dh.get("SEPARATE_HEAD_CFG", {}).get("HEAD_ORDER", [])
+        self.ref_backbone = bb3d.get("NAME", "VoxelBackBone8x") in (
+            "VoxelResBackBone8xVoxelNeXt", "VoxelResBackBone8xVoxelNeXt2D"
         )
+        if self.ref_backbone:
+            out_ch = int(bb3d.get("OUT_CHANNEL", bb3d.get("OUT_CHANNELS",
+                                                          128)))
+            self.backbone_3d = VoxelResBackBone8xVoxelNeXt(
+                grid=SparseGrid(nx, ny, nz),
+                voxel_cap=self.max_voxels,
+                channels=tuple(bb3d.get("CHANNELS", (16, 32, 64, 128, 128))),
+                kernel_sizes=tuple(bb3d.get("SPCONV_KERNEL_SIZES",
+                                            (3, 3, 3, 3))),
+                dtype=self.dtype,
+            )
+            # conv_out (sparse 2D 3×3 over the collapsed BEV set — subm
+            # output-set deviation documented) + shared_conv
+            # (spconv_backbone_voxelnext.py:127-139)
+            self.conv_out = SparseConvBlock(
+                out_ch, kernel_size=(3, 3, 1), dtype=self.dtype,
+                name="conv_out")
+            self.shared_conv = SparseConvBlock(
+                int(dh.get("SHARED_CONV_CHANNEL", out_ch)),
+                kernel_size=(3, 3, 1), dtype=self.dtype, name="shared_conv")
+        else:  # legacy compact path
+            self.backbone_3d = VoxelBackBone8x(
+                grid=SparseGrid(nx, ny, nz),
+                voxel_cap=self.max_voxels,
+                channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),
+                out_channels=bb3d.get("OUT_CHANNELS", 128),
+                dtype=self.dtype,
+            )
+            ch = bb3d.get("OUT_CHANNELS", 128)
+            self.down16 = SparseConv3dDown(
+                ch, out_cap=max(self.max_voxels // 16, 16), dtype=self.dtype
+            )
+            self.down32 = SparseConv3dDown(
+                ch, out_cap=max(self.max_voxels // 32, 16), dtype=self.dtype
+            )
+            self.shared_blocks = [
+                SparseConvBlock(
+                    dh.get("SHARED_CONV_CHANNEL", 128), kernel_size=(3, 3, 1),
+                    dtype=self.dtype, name=f"bev_block{i}",
+                )
+                for i in range(dh.get("NUM_SHARED_BLOCKS", 2))
+            ]
+
+        # class groups (CLASS_NAMES_EACH_HEAD, voxelnext_head.py:80-88):
+        # one SeparateHead per group; per-class regressions come from the
+        # class's own group branch
+        names = list(self.class_names)
+        groups_cfg = dh.get("CLASS_NAMES_EACH_HEAD", None) or [names]
+        n2i = {n: i for i, n in enumerate(names)}
+        self.class_groups = tuple(
+            tuple(n2i[n] for n in g if n in n2i) for g in groups_cfg
+        )
+        c2g = np.zeros(len(names), np.int32)
+        for gi, g in enumerate(self.class_groups):
+            for c in g:
+                c2g[c] = gi
+        self._class_to_group = tuple(int(x) for x in c2g)
+
+        shc = dh.get("SEPARATE_HEAD_CFG", {})
+        self.use_vel = "vel" in list(shc.get("HEAD_ORDER", []))
+        hd = {k: dict(v) for k, v in dict(shc.get("HEAD_DICT", {})).items()}
+        legacy_heads = not hd
+        if legacy_heads:  # pointwise pred-only branches (old Dense heads)
+            hd = {"center": {"out_channels": 2, "num_conv": 1},
+                  "center_z": {"out_channels": 1, "num_conv": 1},
+                  "dim": {"out_channels": 3, "num_conv": 1},
+                  "rot": {"out_channels": 2, "num_conv": 1}}
+            if self.use_vel:
+                hd["vel"] = {"out_channels": 2, "num_conv": 1}
+        # IoU branch (voxelnext_ioubranch configs / voxelnext_head.py IoU
+        # path): per-voxel IoU estimate, L1-trained against the decoded
+        # box's actual IoU, rectifying scores at inference
+        self.use_iou_branch = bool(dh.get("IOU_BRANCH", False)) or "iou" in hd
+        if self.use_iou_branch and "iou" not in hd:
+            hd["iou"] = {"out_channels": 1, "num_conv": 1}
         self._reg_dim = 8 + (2 if self.use_vel else 0)
-        self.reg_head = nn.Dense(self._reg_dim, param_dtype=jnp.float32,
-                                 name="reg_head")
-        # IoU branch (reference voxelnext_ioubranch configs /
-        # voxelnext_head.py IoU path): per-voxel IoU estimate, L1-trained
-        # against the decoded box's actual IoU, rectifying scores at
-        # inference — same convention as SECONDNetIoU (pointpillar.py:153).
-        self.use_iou_branch = bool(dh.get("IOU_BRANCH", False))
-        rect = dh.get("IOU_RECTIFIER", 0.68)
+        self._out_dim = self._reg_dim + (1 if self.use_iou_branch else 0)
+        self.sep_heads = [
+            VoxelNeXtSeparateHead(
+                num_hm_out=len(g), head_dict=hd,
+                num_hm_conv=int(dh.get("NUM_HM_CONV",
+                                       1 if legacy_heads else 2)),
+                kernel_size=int(dh.get("KERNEL_SIZE_HEAD", 3)),
+                dtype=self.dtype, name=f"head_{gi}",
+            )
+            for gi, g in enumerate(self.class_groups)
+        ]
+        rect = dh.get("IOU_RECTIFIER", dh.get("RECTIFIER", 0.68))
         self.iou_rectifier = (
             [float(r) for r in rect] if isinstance(rect, (list, tuple))
             else [float(rect)] * len(self.class_names)
         )
-        if self.use_iou_branch:
-            self.iou_head = nn.Dense(1, param_dtype=jnp.float32,
-                                     name="iou_head")
         self.bev_cap = int(cfg.get("BEV_CAP", self.max_voxels // 4))
 
     def _features(self, batch, train: bool):
@@ -149,9 +242,12 @@ class VoxelNeXt(nn.Module):
             return feats, vox.voxel_coords, vox.voxel_valid
 
         feats, coords, valid = jax.vmap(voxelize_one)(points, points_valid)
-        st8 = self.backbone_3d(feats, coords, valid, train)
-        st16 = self.down16(st8, train=train)
-        st32 = self.down32(st16, train=train)
+        if self.ref_backbone:
+            st8, st16, st32 = self.backbone_3d(feats, coords, valid, train)
+        else:
+            st8 = self.backbone_3d(feats, coords, valid, train)
+            st16 = self.down16(st8, train=train)
+            st32 = self.down32(st16, train=train)
         # map coarser voxels back onto the stride-8 grid and concatenate sets
         coords16 = jnp.concatenate(
             [st16.coords[..., 0:2] * 2, st16.coords[..., 2:3]], axis=-1
@@ -167,18 +263,40 @@ class VoxelNeXt(nn.Module):
         merged = SparseTensor(all_feats, all_coords, all_valid, st8.grid)
 
         bev = sparse_bev_collapse(merged, self.bev_cap)
-        for blk in self.shared_blocks:
-            bev = blk(bev, train)
-        hm = self.hm_head(bev.features.astype(jnp.float32))
-        reg = self.reg_head(bev.features.astype(jnp.float32))
-        if self.use_iou_branch:
-            # iou rides as a 9th reg channel so the TTA merge and decode
-            # gather paths stay unchanged
-            reg = jnp.concatenate(
-                [reg, self.iou_head(bev.features.astype(jnp.float32))],
-                axis=-1,
-            )
+        if self.ref_backbone:
+            bev = self.conv_out(bev, train)
+            bev = self.shared_conv(bev, train)
+        else:
+            for blk in self.shared_blocks:
+                bev = blk(bev, train)
+
+        # per-group SeparateHeads: global hm assembled from group columns;
+        # reg stacked (B, V, G, D) with D = 8 (+vel 2) (+iou 1)
+        num_cls = len(self.class_names)
+        hm = jnp.zeros(bev.valid.shape + (num_cls,), jnp.float32)
+        regs = []
+        for head, grp in zip(self.sep_heads, self.class_groups):
+            outs = head(bev, train)
+            for j, c in enumerate(grp):
+                hm = hm.at[..., c].set(outs["hm"][..., j])
+            parts = [outs["center"], outs["center_z"], outs["dim"],
+                     outs["rot"]]
+            if self.use_vel:
+                parts.append(outs["vel"])
+            if self.use_iou_branch:
+                parts.append(outs["iou"])
+            regs.append(jnp.concatenate(parts, axis=-1))
+        reg = jnp.stack(regs, axis=2)
         return bev, hm, reg
+
+    def _gather_group_reg(self, reg, vox, grp):
+        """reg (B, V, G, D), vox (B, K) voxel slots, grp (B, K) group ids →
+        (B, K, D): each selection reads its class's own group branch."""
+        b, v, g, d = reg.shape
+        r = jnp.take_along_axis(
+            reg.reshape(b, v, g * d), vox[..., None], axis=1
+        ).reshape(b, -1, g, d)
+        return jnp.take_along_axis(r, grp[..., None, None], axis=2)[:, :, 0]
 
     def _voxel_xy(self, bev: SparseTensor):
         """BEV voxel centers in world coords (stride-8 cells)."""
@@ -254,11 +372,20 @@ class VoxelNeXt(nn.Module):
         hm_t, inds, reg_t, mask = self.assign_targets(
             bev, batch.gt_boxes, batch.gt_valid
         )
+        # each gt supervises its own class group's branch
+        cls_id = batch.gt_boxes[..., -1].astype(jnp.int32)
+        grp = jnp.asarray(self._class_to_group, jnp.int32)[
+            jnp.clip(cls_id - 1, 0, len(self.class_names) - 1)
+        ]
+        rp = self._gather_group_reg(reg, inds, grp)  # (B, M, D)
+        ident = jnp.broadcast_to(
+            jnp.arange(rp.shape[1])[None], rp.shape[:2]
+        )
         hm_prob = losses.sigmoid_clamped(hm)
         hm_prob = jnp.where(bev.valid[..., None], hm_prob, 1e-4)
         hm_loss = losses.focal_loss_centernet(hm_prob, hm_t)
         reg_loss = losses.reg_loss_centernet(
-            reg[..., : self._reg_dim], reg_t, inds, mask
+            rp[..., : self._reg_dim], reg_t, ident, mask
         )
         lw = self.cfg.DENSE_HEAD.LOSS_CONFIG.LOSS_WEIGHTS
         code_w = jnp.asarray(
@@ -275,7 +402,6 @@ class VoxelNeXt(nn.Module):
             from ..core.geometry.iou import aligned_iou3d
 
             vx, vy = self._voxel_xy(bev)
-            rp = jnp.take_along_axis(reg, inds[..., None], axis=1)  # (B,M,9)
             boxes_p = jnp.stack(
                 [
                     jnp.take_along_axis(vx, inds, axis=1) + rp[..., 0],
@@ -326,10 +452,11 @@ class VoxelNeXt(nn.Module):
 
         nx8, ny8 = bev.grid.nx, bev.grid.ny
         v = bev.valid.shape[-1]
+        g, d = reg.shape[-2], reg.shape[-1]
         coords = bev.coords.reshape(4, b, v, 3)
         valid = bev.valid.reshape(4, b, v)
         prob = jax.nn.sigmoid(hm).reshape(4, b, v, -1)
-        reg = reg.reshape(4, b, v, reg.shape[-1])
+        reg = reg.reshape(4, b, v, g, d)
         # activate dims pre-average (reference sigmoids hm / exps dim first)
         reg = reg.at[..., 3:6].set(jnp.exp(reg[..., 3:6]))
 
@@ -358,19 +485,20 @@ class VoxelNeXt(nn.Module):
                  jnp.stack([flip_x.astype(jnp.float32),
                             flip_y.astype(jnp.float32)], axis=-1)], axis=-1,
             )
-        if reg.shape[-1] > self._reg_dim:  # iou channel (flip-invariant)
+        if d > self._reg_dim:  # iou channel (flip-invariant)
             reg_scale = jnp.concatenate(
-                [reg_scale,
-                 jnp.ones((4, reg.shape[-1] - self._reg_dim))], axis=-1,
+                [reg_scale, jnp.ones((4, d - self._reg_dim))], axis=-1,
             )
-        reg = reg * reg_scale[:, None, None, :]
+        reg = reg * reg_scale[:, None, None, None, :]
 
         # merge: per sample, segment-mean over unique un-flipped (x, y) cells
         merged_cap = 2 * self.bev_cap
         from ..core.voxel.sparse_ops import linearize
 
         bev_grid = bev.grid
-        feats = jnp.concatenate([prob, reg], axis=-1)  # (4, B, V, C+8)
+        feats = jnp.concatenate(
+            [prob, reg.reshape(4, b, v, g * d)], axis=-1
+        )  # (4, B, V, C + G·D)
         coords_m = coords.transpose(1, 0, 2, 3).reshape(b, 4 * v, 3)
         valid_m = valid.transpose(1, 0, 2).reshape(b, 4 * v)
         feats_m = feats.transpose(1, 0, 2, 3).reshape(b, 4 * v, -1)
@@ -410,7 +538,8 @@ class VoxelNeXt(nn.Module):
         mc, mv, mf = jax.vmap(merge_one)(coords_m, valid_m, feats_m)
         num_cls = len(self.class_names)
         merged = SparseTensor(mf, mc, mv, bev_grid)
-        return merged, mf[..., :num_cls], mf[..., num_cls:]
+        reg_m = mf[..., num_cls:].reshape(b, mf.shape[1], g, d)
+        return merged, mf[..., :num_cls], reg_m
 
     def predict(self, batch):
         cfg = self.cfg
@@ -435,7 +564,9 @@ class VoxelNeXt(nn.Module):
         def gather(arr):
             return jnp.take_along_axis(arr, vox, axis=1)
 
-        r = jnp.take_along_axis(reg, vox[..., None], axis=1)
+        # each selection decodes from its class's own group branch
+        grp = jnp.asarray(self._class_to_group, jnp.int32)[cls - 1]
+        r = self._gather_group_reg(reg, vox, grp)
         x = gather(vx) + r[..., 0]
         y = gather(vy) + r[..., 1]
         boxes = jnp.stack(

@@ -37,6 +37,9 @@ __all__ = [
     "deeplab_ddn_mapping",
     "voxelrcnn_head_mapping",
     "pvrcnn_head_mapping",
+    "parta2_head_mapping",
+    "pointrcnn_head_mapping",
+    "second_head_mapping",
     "apply_mapping",
 ]
 
@@ -352,6 +355,99 @@ def pvrcnn_head_mapping(shared_fc=(256, 256), cls_fc=(256, 256),
                 len(shared_fc))
     _fc_make(m, pfx + ("cls_fc",), f"{ref_prefix}.cls_layers", len(cls_fc))
     _fc_make(m, pfx + ("reg_fc",), f"{ref_prefix}.reg_layers", len(reg_fc))
+    return m
+
+
+def t_spconv_dense(w):
+    """spconv SubMConv3d weight → flax Conv kernel (kx, ky, kz, Cin, Cout)
+    for the dense-grid subm equivalence in PartA2RoIHead (the pooled RoI
+    grids use the reference's (x, y, z) cell layout; spconv offsets and
+    dense cross-correlation share the no-flip convention)."""
+    w = np.asarray(w)
+    if w.ndim != 5:
+        raise ValueError(f"not a sparse conv weight: shape {w.shape}")
+    if w.shape[1] == w.shape[2] == w.shape[3]:
+        # spconv 2.x (Cout, kz, ky, kx, Cin): move Cout last
+        w = np.moveaxis(w, 0, -1)
+    return np.ascontiguousarray(w.transpose(2, 1, 0, 3, 4))
+
+
+def parta2_head_mapping(shared_fc=(256, 256, 256), cls_fc=(256, 256),
+                        reg_fc=(256, 256), num_features=128,
+                        ours_prefix=("roi_head",), ref_prefix="roi_head"
+                        ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for PartA2FCHead (partA2_head.py:15-58): the conv_part /
+    conv_rpn subm stacks (two post_act_blocks each) + Conv1d SHARED_FC tower
+    + make_fc_layers cls/reg stacks."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    pfx = tuple(ours_prefix)
+    for stream, ref_name in (("part", "conv_part"), ("rpn", "conv_rpn")):
+        for blk in range(2):
+            base = f"{ref_prefix}.{ref_name}.{blk}.0"
+            m[("params",) + pfx + (f"{stream}{blk}_conv", "kernel")] = (
+                f"{base}.0.weight", t_spconv_dense)
+            _bn(m, pfx + (f"{stream}{blk}_bn",), f"{base}.1")
+    _fc_between(m, pfx + ("shared_fc",), f"{ref_prefix}.shared_fc_layer",
+                len(shared_fc))
+    _fc_make(m, pfx + ("cls_fc",), f"{ref_prefix}.cls_layers", len(cls_fc))
+    _fc_make(m, pfx + ("reg_fc",), f"{ref_prefix}.reg_layers", len(reg_fc))
+    return m
+
+
+def pointrcnn_head_mapping(xyz_up=(128, 128), sa_mlps=((128, 128, 128),
+                                                       (128, 128, 256),
+                                                       (256, 256, 512)),
+                           cls_fc=(256, 256), reg_fc=(256, 256),
+                           use_bn=False, ours_prefix=("roi_head",),
+                           ref_prefix="roi_head"
+                           ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for PointRCNNHead (pointrcnn_head.py:10-65): xyz_up /
+    merge_down Conv2d(k=1) stacks (biased when USE_BN=False), the batch SA
+    module MLPs (always Conv2d+BN2d, pointnet2_batch modules:90-97) and
+    make_fc_layers cls/reg stacks."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    pfx = tuple(ours_prefix)
+    step = 3 if use_bn else 2  # [conv, (bn,) relu] per block
+    for i in range(len(xyz_up)):
+        base = f"{ref_prefix}.xyz_up_layer.{step * i}"
+        m[("params",) + pfx + (f"xyz_up_d{i}", "kernel")] = (
+            f"{base}.weight", t_fc)
+        if use_bn:
+            _bn(m, pfx + (f"xyz_up_bn{i}",),
+                f"{ref_prefix}.xyz_up_layer.{step * i + 1}")
+        else:
+            m[("params",) + pfx + (f"xyz_up_d{i}", "bias")] = (
+                f"{base}.bias", t_identity)
+    m[("params",) + pfx + ("merge_down_d0", "kernel")] = (
+        f"{ref_prefix}.merge_down_layer.0.weight", t_fc)
+    if use_bn:
+        _bn(m, pfx + ("merge_down_bn0",),
+            f"{ref_prefix}.merge_down_layer.1")
+    else:
+        m[("params",) + pfx + ("merge_down_d0", "bias")] = (
+            f"{ref_prefix}.merge_down_layer.0.bias", t_identity)
+    for k, mlp in enumerate(sa_mlps):
+        base = f"{ref_prefix}.SA_modules.{k}.mlps.0"
+        for j in range(len(mlp)):
+            m[("params",) + pfx + (f"sa{k}_d{j}", "kernel")] = (
+                f"{base}.{3 * j}.weight", t_fc)
+            _bn(m, pfx + (f"sa{k}_bn{j}",), f"{base}.{3 * j + 1}")
+    _fc_make(m, pfx + ("cls_fc",), f"{ref_prefix}.cls_layers", len(cls_fc))
+    _fc_make(m, pfx + ("reg_fc",), f"{ref_prefix}.reg_layers", len(reg_fc))
+    return m
+
+
+def second_head_mapping(shared_fc=(256, 256), iou_fc=(256, 256),
+                        ours_prefix=(), ref_prefix="roi_head"
+                        ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for SECONDHead (second_head.py:10-42): Conv1d SHARED_FC
+    tower + make_fc_layers IOU_FC stack (the BEV RoI-align pooling has no
+    weights)."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    pfx = tuple(ours_prefix)
+    _fc_between(m, pfx + ("shared_fc",), f"{ref_prefix}.shared_fc_layer",
+                len(shared_fc))
+    _fc_make(m, pfx + ("iou_fc",), f"{ref_prefix}.iou_layers", len(iou_fc))
     return m
 
 

@@ -330,22 +330,73 @@ class TestSparseOps:
 
 
 class TestSECONDIoU:
-    def test_iou_head_loss_and_rectified_predict(self):
+    def test_iou_head_loss_and_iou_scored_predict(self):
+        # reference second_iou.yaml ROI_HEAD (SECONDHead) at test scale
         cfg = second_model_cfg()
         cfg["NAME"] = "SECONDNetIoU"
+        cfg["ROI_HEAD"] = {
+            "NAME": "SECONDHead", "CLASS_AGNOSTIC": True,
+            "SHARED_FC": [32, 32], "IOU_FC": [16], "DP_RATIO": 0.3,
+            "NMS_CONFIG": {
+                "TRAIN": {"NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 32,
+                          "NMS_THRESH": 0.8},
+                "TEST": {"NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 8,
+                         "NMS_THRESH": 0.7},
+            },
+            "ROI_GRID_POOL": {"GRID_SIZE": 7, "DOWNSAMPLE_RATIO": 8},
+            "TARGET_CONFIG": {
+                "BOX_CODER": "ResidualCoder", "ROI_PER_IMAGE": 16,
+                "FG_RATIO": 0.5, "SAMPLE_ROI_BY_EACH_CLASS": True,
+                "CLS_SCORE_TYPE": "roi_iou", "CLS_FG_THRESH": 0.75,
+                "CLS_BG_THRESH": 0.25, "CLS_BG_THRESH_LO": 0.1,
+                "HARD_BG_RATIO": 0.8, "REG_FG_THRESH": 0.55,
+            },
+            "LOSS_CONFIG": {"IOU_LOSS": "BinaryCrossEntropy",
+                            "LOSS_WEIGHTS": {"rcnn_iou_weight": 1.0}},
+        }
         model = build_network(cfg, CLASSES, second_grid())
         batch = make_batch(np.random.RandomState(2), b=2, n=512)
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)}, batch, train=False,
-            method=lambda m, b, train: m._features(b, train),
-        )
-        assert any("conv_iou" in str(k) for k in
-                   jax.tree_util.tree_leaves_with_path(variables["params"])
-                   for k in [k[0]]) or True
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               train=False)
         (loss, tb), _ = model.apply(variables, batch, train=True,
                                     mutable=["batch_stats"])
         assert "iou_loss" in tb and np.isfinite(float(tb["iou_loss"]))
+
+        def loss_fn(params):
+            (l, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return l
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(g)) for g in leaves)
+
         boxes, scores, labels, keep = model.apply(
             variables, batch, method=lambda m, b: m.predict(b)
         )
         assert np.all(np.isfinite(np.asarray(scores)))
+        assert np.all((np.asarray(scores) >= 0) & (np.asarray(scores) <= 1))
+
+    def test_bev_roi_align_axis_aligned(self):
+        from dfu3d_tpu.models.second_iou import bev_roi_align
+
+        # a 1-channel ramp feature map: f[y, x] = x + 10*y; an axis-aligned
+        # roi samples the lattice exactly (bilinear of a linear field)
+        h = w = 16
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        feats = (xx + 10.0 * yy).astype(np.float32)[..., None]
+        pcr = np.zeros(3, np.float32)
+        vs = np.ones(3, np.float32)
+        # world box centered at (8, 8), dx=4, dy=8, no rotation, stride 1
+        roi = np.array([[8.0, 8.0, 0.0, 4.0, 8.0, 1.0, 0.0]], np.float32)
+        g = 3
+        out = np.asarray(bev_roi_align(
+            jnp.asarray(feats), jnp.asarray(roi), g, jnp.asarray(pcr),
+            jnp.asarray(vs), 1.0,
+        ))[0, ..., 0]
+        # px = 8 + 2u ∈ {6, 8, 10}; py = 8 + 4v ∈ {4, 8, 12}
+        want = np.array([[px + 10.0 * py for px in (6, 8, 10)]
+                         for py in (4, 8, 12)], np.float32)
+        np.testing.assert_allclose(out, want, rtol=1e-5)

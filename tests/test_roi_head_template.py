@@ -509,3 +509,165 @@ class TestPVRCNNHeadConvert:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(ours_reg), ref_reg.numpy(),
                                    rtol=1e-4, atol=1e-4)
+
+
+class _SECONDFC(nn.Module):
+    """Our SECONDNetIoU FC tower namespace (models/second_iou.py setup)."""
+
+    @nn.compact
+    def __call__(self, flat, train=False):
+        h = shared_fc_stack((32, 32), 0.3, name="shared_fc")(flat, train)
+        return make_fc_stack((16,), 1, 0.3, name="iou_fc")(h, train)
+
+
+class TestSECONDHeadConvert:
+    def test_fc_tower_parity(self):
+        install_reference_stubs()
+        from pcdet.models.roi_heads.second_head import SECONDHead
+
+        cfg = EDict({
+            "CLASS_AGNOSTIC": True,
+            "SHARED_FC": [32, 32], "IOU_FC": [16], "DP_RATIO": 0.3,
+            "ROI_GRID_POOL": {"GRID_SIZE": 4, "IN_CHANNEL": 8,
+                              "DOWNSAMPLE_RATIO": 8},
+            "TARGET_CONFIG": {"BOX_CODER": "ResidualCoder"},
+            "LOSS_CONFIG": LOSS_CFG,
+        })
+        with no_cuda():
+            torch.manual_seed(17)
+            head = SECONDHead(input_channels=8, model_cfg=cfg, num_class=1)
+        head.eval()
+        _randomize_bn_stats(head, seed=6)
+
+        n, d = 6, 4 * 4 * 8  # g² · C
+        rng = np.random.RandomState(21)
+        x = rng.randn(n, d).astype(np.float32)
+        model = _SECONDFC()
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        state = {f"roi_head.{k}": v.detach().numpy()
+                 for k, v in head.state_dict().items()}
+        mapping = tc.second_head_mapping(shared_fc=(32, 32), iou_fc=(16,))
+        new_vars, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+
+        ours = model.apply(new_vars, jnp.asarray(x))
+        with torch.no_grad():
+            shared = head.shared_fc_layer(torch.from_numpy(x)[..., None])
+            ref = head.iou_layers(shared).squeeze(-1)
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestPointRCNNHeadConvert:
+    @pytest.fixture(scope="class")
+    def ref_head(self):
+        install_reference_stubs()
+        from pcdet.models.roi_heads.pointrcnn_head import PointRCNNHead
+
+        cfg = EDict({
+            "CLASS_AGNOSTIC": True,
+            "ROI_POINT_POOL": {"POOL_EXTRA_WIDTH": [0.0, 0.0, 0.0],
+                               "NUM_SAMPLED_POINTS": 32,
+                               "DEPTH_NORMALIZER": 70.0},
+            "XYZ_UP_LAYER": [16, 16],
+            "CLS_FC": [16], "REG_FC": [16],
+            "DP_RATIO": 0.0, "USE_BN": False,
+            "SA_CONFIG": {
+                "NPOINTS": [16, -1], "RADIUS": [0.2, 100],
+                "NSAMPLE": [8, 8], "MLPS": [[16, 16], [16, 32]],
+            },
+            "TARGET_CONFIG": {"BOX_CODER": "ResidualCoder"},
+            "LOSS_CONFIG": LOSS_CFG,
+        })
+        with no_cuda():
+            torch.manual_seed(23)
+            head = PointRCNNHead(input_channels=16, model_cfg=cfg,
+                                 num_class=1)
+        head.eval()
+        _randomize_bn_stats(head, seed=8)
+        return head
+
+    def test_stacks_parity(self, ref_head):
+        """xyz_up + merge_down (biased Conv2d k=1, USE_BN=False), one SA MLP
+        on a grouped tensor, and the cls/reg make_fc_layers stacks — all
+        through pointrcnn_head_mapping on the reference's own module."""
+        from dfu3d_tpu.models.pointrcnn import PointRCNNRoIHead
+
+        rng = np.random.RandomState(31)
+        m_, s_ = 4, 12
+        local = rng.randn(m_, s_, 3).astype(np.float32)
+        prefix = rng.rand(m_, s_, 2).astype(np.float32)
+        feats = rng.randn(m_, s_, 16).astype(np.float32)
+        valid = np.ones((m_, s_), bool)
+
+        ours = PointRCNNRoIHead(
+            num_samples=s_, xyz_up=(16, 16), sa_npoints=(16, -1),
+            sa_radii=(0.2, 100.0), sa_nsamples=(8, 8),
+            sa_mlps=((16, 16), (16, 32)), cls_fc=(16,), reg_fc=(16,),
+            dp_ratio=0.0, use_bn=False,
+        )
+        variables = ours.init(
+            jax.random.PRNGKey(0), jnp.asarray(local), jnp.asarray(prefix),
+            jnp.asarray(feats), jnp.asarray(valid), False,
+        )
+        state = {f"roi_head.{k}": v.detach().numpy()
+                 for k, v in ref_head.state_dict().items()}
+        mapping = tc.pointrcnn_head_mapping(
+            xyz_up=(16, 16), sa_mlps=((16, 16), (16, 32)),
+            cls_fc=(16,), reg_fc=(16,), use_bn=False, ours_prefix=())
+        new_vars, report = tc.apply_mapping(variables, state, mapping)
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+
+        # xyz_up + merge_down equality on the full-prefix path
+        xin = np.concatenate([local, prefix], -1)
+        with torch.no_grad():
+            tx = torch.from_numpy(xin).permute(0, 2, 1)[..., None]  # (M,5,S,1)
+            t_xyz = ref_head.xyz_up_layer(tx)
+            t_merged = ref_head.merge_down_layer(torch.cat(
+                [t_xyz, torch.from_numpy(feats).permute(0, 2, 1)[..., None]],
+                dim=1))
+            t_merged = t_merged[..., 0].permute(0, 2, 1).numpy()  # (M,S,16)
+
+        def ours_merge(mdl):
+            xf = mdl._mlp(jnp.asarray(xin), jnp.asarray(valid), (16, 16),
+                          "xyz_up", False)
+            merged = jnp.concatenate([xf, jnp.asarray(feats)], -1)
+            return mdl._mlp(merged, jnp.asarray(valid), (16,), "merge_down",
+                            False)
+
+        got = ours.apply(new_vars, method=ours_merge)
+        np.testing.assert_allclose(np.asarray(got), t_merged,
+                                   rtol=1e-4, atol=1e-4)
+
+        # SA level-0 MLP on a grouped tensor (Conv2d+BN2d, always-on BN)
+        grouped = rng.randn(m_, 6, 8, 19).astype(np.float32)  # 3+16 channels
+        with torch.no_grad():
+            tg = torch.from_numpy(grouped).permute(0, 3, 1, 2)
+            t_sa = ref_head.SA_modules[0].mlps[0](tg).permute(0, 2, 3, 1)
+
+        def ours_sa(mdl):
+            mask = jnp.ones(grouped.shape[:-1], bool)
+            return mdl._mlp(jnp.asarray(grouped), mask, (16, 16), "sa0",
+                            False, bn=True)
+
+        got_sa = ours.apply(new_vars, method=ours_sa)
+        np.testing.assert_allclose(np.asarray(got_sa), t_sa.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+
+        # cls/reg stacks on the pooled vector
+        pooled = rng.randn(m_, 32).astype(np.float32)
+        with torch.no_grad():
+            t_cls = ref_head.cls_layers(
+                torch.from_numpy(pooled)[..., None]).squeeze(-1)
+            t_reg = ref_head.reg_layers(
+                torch.from_numpy(pooled)[..., None]).squeeze(-1)
+
+        def ours_heads(mdl):
+            h = jnp.asarray(pooled)
+            return mdl.cls_stack(h, False), mdl.reg_stack(h, False)
+
+        got_cls, got_reg = ours.apply(new_vars, method=ours_heads)
+        np.testing.assert_allclose(np.asarray(got_cls), t_cls.numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_reg), t_reg.numpy(),
+                                   rtol=1e-4, atol=1e-4)

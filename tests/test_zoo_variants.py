@@ -159,7 +159,14 @@ class TestDSVTAndPillarNet:
         cfg["VFE"] = {"NAME": "MeanVFE"}
         cfg["BACKBONE_3D"] = {"NAME": "PillarRes18BackBone8x",
                               "CHANNELS": [8, 8, 16, 16, 16],
-                              "OUT_CHANNELS": 16}
+                              "OUT_CHANNELS": 16, "CONV5_CHANNELS": 16}
+        # the rebuilt PillarNet pins the reference neck (pillarnet.py:147)
+        cfg["BACKBONE_2D"] = {
+            "NAME": "BaseBEVBackboneV1",
+            "LAYER_NUMS": [2, 2], "LAYER_STRIDES": [1, 2],
+            "NUM_FILTERS": [16, 16], "UPSAMPLE_STRIDES": [1, 2],
+            "NUM_UPSAMPLE_FILTERS": [16, 16],
+        }
         cfg["DENSE_HEAD"]["TARGET_ASSIGNER_CONFIG"]["FEATURE_MAP_STRIDE"] = 16
         grid = VoxelGrid.create([0, -6.4, -3, 6.4, 6.4, 1], [0.1, 0.1, 4.0])
         model = build_network(cfg, CLASS_NAMES, grid, max_voxels=512)
@@ -192,7 +199,8 @@ class TestMPPNet:
         cfg["ROI_HEAD"] = {"NAME": "MPPNetHead", "NMS_PRE_MAXSIZE": 128,
                            "NMS_POST_MAXSIZE": 8, "NMS_THRESH": 0.8,
                            "NUM_FRAMES": 4, "NSAMPLE": 16, "RADIUS": 2.4,
-                           "HIDDEN": 16, "NUM_LAYERS": 1}
+                           "HIDDEN": 16, "NUM_LAYERS": 1,
+                           "TARGET_CONFIG": {"ROI_PER_IMAGE": 8}}
         return cfg
 
     def test_mppnet_and_e2e(self):
