@@ -57,6 +57,26 @@ class CenterPoint(nn.Module):
         if self._use_dsvt:
             # DSVT pillar transformer (backbones_3d/dsvt.py; N7 ingroup_inds)
             from .dsvt import DSVTBackbone
+            from .vfe import DynVoxelVFE
+
+            if vfe_cfg.NAME in ("DynamicVoxelVFE", "DynVoxelVFE"):
+                # the reference DSVT configs' learned VFE
+                # (dsvt_pillar.yaml:65, dynamic_voxel_vfe.py:15)
+                self.vfe = DynVoxelVFE(
+                    num_filters=tuple(vfe_cfg.NUM_FILTERS),
+                    grid=self.grid,
+                    use_norm=vfe_cfg.get("USE_NORM", True),
+                    use_absolute_xyz=vfe_cfg.get("USE_ABSLOTE_XYZ", True),
+                    with_distance=vfe_cfg.get("WITH_DISTANCE", False),
+                    max_voxels=self.max_voxels,
+                    dtype=self.dtype,
+                )
+            else:
+                # MeanVFE fallback (also accepted when a derived config
+                # leaves the base pillar VFE in place)
+                assert vfe_cfg.NAME in (
+                    "MeanVFE", "DynPillarVFE", "DynamicPillarVFE"), vfe_cfg.NAME
+                self.vfe = None
 
             nx, ny, _ = self.grid.grid_size
             bb3d = cfg.BACKBONE_3D
@@ -142,22 +162,29 @@ class CenterPoint(nn.Module):
 
             nx, ny, _ = self.grid.grid_size
 
-            def pillarize_one(points, valid):
-                vox = dynamic_voxelize(self.grid, points, valid, self.max_voxels)
-                sums = jax.ops.segment_sum(
-                    jnp.where(valid[:, None], points, 0.0),
-                    vox.point_to_voxel, num_segments=self.max_voxels,
-                )
-                counts = jax.ops.segment_sum(
-                    valid.astype(jnp.float32), vox.point_to_voxel,
-                    num_segments=self.max_voxels,
-                )
-                feats = sums / jnp.maximum(counts, 1.0)[:, None]
-                return feats, vox.voxel_coords[:, :2], vox.voxel_valid
+            if self.vfe is not None:
+                feats, coords3, valid = self.vfe(
+                    batch.points, batch.points_valid, train)
+                coords = coords3[..., :2]
+            else:
 
-            feats, coords, valid = jax.vmap(pillarize_one)(
-                batch.points, batch.points_valid
-            )
+                def pillarize_one(points, valid):
+                    vox = dynamic_voxelize(
+                        self.grid, points, valid, self.max_voxels)
+                    sums = jax.ops.segment_sum(
+                        jnp.where(valid[:, None], points, 0.0),
+                        vox.point_to_voxel, num_segments=self.max_voxels,
+                    )
+                    counts = jax.ops.segment_sum(
+                        valid.astype(jnp.float32), vox.point_to_voxel,
+                        num_segments=self.max_voxels,
+                    )
+                    feats = sums / jnp.maximum(counts, 1.0)[:, None]
+                    return feats, vox.voxel_coords[:, :2], vox.voxel_valid
+
+                feats, coords, valid = jax.vmap(pillarize_one)(
+                    batch.points, batch.points_valid
+                )
             out = nn.vmap(
                 lambda m, f, c, v: m(f, c, v, train),
                 variable_axes={"params": None, "batch_stats": None},

@@ -40,6 +40,7 @@ __all__ = [
     "parta2_head_mapping",
     "pointrcnn_head_mapping",
     "second_head_mapping",
+    "pfn_mapping",
     "apply_mapping",
 ]
 
@@ -141,6 +142,26 @@ def _t_fused_out_bias(out_chs, out_max):
     return f
 
 
+def pfn_mapping(num_pfn, m=None, ours_prefix=("vfe",), ref_prefix="vfe",
+                use_norm=True) -> Dict[Tuple, Tuple[str, Callable]]:
+    """PFNLayerV2 stacks (dynamic_pillar_vfe.py:14-46 /
+    dynamic_voxel_vfe.py:30-37): linear (+BN) per layer. Shared by
+    DynPillarVFE and DynVoxelVFE — both use the same PFNLayer params."""
+    if m is None:
+        m = {}
+    pfx = tuple(ours_prefix)
+    for i in range(num_pfn):
+        m[("params",) + pfx + (f"pfn_{i}", "Dense_0", "kernel")] = (
+            f"{ref_prefix}.pfn_layers.{i}.linear.weight", t_linear)
+        if use_norm:
+            _bn(m, pfx + (f"pfn_{i}", "MaskedBatchNorm_0"),
+                f"{ref_prefix}.pfn_layers.{i}.norm")
+        else:
+            m[("params",) + pfx + (f"pfn_{i}", "Dense_0", "bias")] = (
+                f"{ref_prefix}.pfn_layers.{i}.linear.bias", t_identity)
+    return m
+
+
 def centerpoint_pillar_mapping(
     layer_nums=(3, 5, 5), num_heads=6, num_pfn=2,
     hm_counts=(1, 2, 2, 1, 2, 2),
@@ -152,11 +173,7 @@ def centerpoint_pillar_mapping(
     Keys: ours (collection, *module path, leaf) → (torch key, transform).
     """
     m: Dict[Tuple, Tuple[str, Callable]] = {}
-    for i in range(num_pfn):
-        m[("params", "vfe", f"pfn_{i}", "Dense_0", "kernel")] = (
-            f"vfe.pfn_layers.{i}.linear.weight", t_linear)
-        _bn(m, ("vfe", f"pfn_{i}", "MaskedBatchNorm_0"),
-            f"vfe.pfn_layers.{i}.norm")
+    pfn_mapping(num_pfn, m)
 
     # BaseBEVBackbone: reference blocks.{i} = [ZeroPad, Conv(stride), BN,
     # ReLU, (Conv, BN, ReLU) × layer_nums[i]]; deblocks.{i} = [ConvT|Conv,

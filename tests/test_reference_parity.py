@@ -914,3 +914,96 @@ class TestReferenceLogitsParity:
                     rtol=1e-4, atol=1e-4,
                     err_msg=f"head {k} branch {name}",
                 )
+
+
+class TestDynVoxelVFEParity:
+    """Our DynVoxelVFE vs the reference's own DynamicVoxelVFE
+    (dynamic_voxel_vfe.py:15-106) on identical raw points: both voxelize a
+    3D grid internally and run the learned PFN stack; per-voxel outputs are
+    matched by (b, ix, iy, iz) coordinate key (the two sides order their
+    compacted voxel lists differently)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        install_reference_stubs()
+        from pcdet.models.backbones_3d.vfe.dynamic_voxel_vfe import (
+            DynamicVoxelVFE,
+        )
+
+        from dfu3d_tpu.core.voxel import VoxelGrid
+        from dfu3d_tpu.models.vfe import DynVoxelVFE
+
+        pcr = [0.0, -3.2, -2.0, 6.4, 3.2, 2.0]
+        voxel = [0.4, 0.4, 0.5]
+        grid3 = [16, 16, 8]
+
+        torch.manual_seed(7)
+        with no_cuda():
+            ref = DynamicVoxelVFE(
+                EDict(dict(USE_NORM=True, WITH_DISTANCE=False,
+                           USE_ABSLOTE_XYZ=True, NUM_FILTERS=[32, 32])),
+                num_point_features=4, voxel_size=voxel,
+                grid_size=np.array(grid3), point_cloud_range=np.array(pcr),
+            )
+        _randomize_bn(ref)
+        ref.eval()
+
+        grid = VoxelGrid.create(pcr, voxel)
+        ours = DynVoxelVFE(num_filters=(32, 32), grid=grid, max_voxels=512)
+
+        rng = np.random.RandomState(3)
+        b, n = 2, 400
+        lo = np.array(pcr[:3]) + 0.05
+        hi = np.array(pcr[3:]) - 0.05
+        xyz = rng.rand(b, n, 3).astype(np.float32) * (hi - lo) + lo
+        inten = rng.rand(b, n, 1).astype(np.float32)
+        points = np.concatenate([xyz, inten], -1).astype(np.float32)
+        valid = np.ones((b, n), bool)
+        valid[:, 390:] = False
+
+        variables = ours.init(
+            jax.random.PRNGKey(0), jnp.asarray(points), jnp.asarray(valid),
+            False,
+        )
+        state = {f"vfe.{k}": v.numpy() for k, v in ref.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.pfn_mapping(2, ours_prefix=()))
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        return ref, ours, new_vars, points, valid
+
+    def test_voxel_features_equal(self, setup):
+        ref, ours, new_vars, points, valid = setup
+        b, n, _ = points.shape
+        # reference forward: flat (batch_idx, x, y, z, i) over valid points
+        rows = []
+        for bi in range(b):
+            p = points[bi][valid[bi]]
+            rows.append(np.concatenate(
+                [np.full((len(p), 1), bi, np.float32), p], -1))
+        flat = torch.from_numpy(np.concatenate(rows, 0))
+        with torch.no_grad():
+            bd = ref({"points": flat, "batch_size": b})
+        ref_feats = bd["voxel_features"].numpy()
+        ref_coords = bd["voxel_coords"].numpy()  # (M, 4) = (b, iz, iy, ix)
+
+        feats, coords, vvalid = ours.apply(
+            new_vars, jnp.asarray(points), jnp.asarray(valid), False)
+        feats, coords, vvalid = map(np.asarray, (feats, coords, vvalid))
+
+        ref_map = {
+            (int(c[0]), int(c[3]), int(c[2]), int(c[1])): f
+            for c, f in zip(ref_coords, ref_feats)
+        }
+        count = 0
+        for bi in range(b):
+            for v in range(coords.shape[1]):
+                if not vvalid[bi, v]:
+                    continue
+                key = (bi, int(coords[bi, v, 0]), int(coords[bi, v, 1]),
+                       int(coords[bi, v, 2]))
+                assert key in ref_map, key
+                np.testing.assert_allclose(
+                    feats[bi, v], ref_map[key], rtol=1e-4, atol=1e-4,
+                    err_msg=str(key))
+                count += 1
+        assert count == len(ref_map), (count, len(ref_map))
