@@ -80,16 +80,39 @@ class CenterPoint(nn.Module):
 
             nx, ny, _ = self.grid.grid_size
             bb3d = cfg.BACKBONE_3D
-            self.backbone_3d = DSVTBackbone(
-                dim=int(bb3d.get("DIM", 128)),
-                num_heads=int(bb3d.get("NUM_HEADS", 8)),
-                num_blocks=int(bb3d.get("NUM_BLOCKS", 4)),
-                window_shape=tuple(bb3d.get("WINDOW_SHAPE", (12, 12))),
-                set_size=int(bb3d.get("SET_SIZE", 36)),
-                max_sets=int(bb3d.get("MAX_SETS", 1024)),
-                grid_size=(nx, ny),
-                dtype=self.dtype,
-            )
+            if "set_info" in bb3d:
+                # the reference's native schema (dsvt_pillar.yaml:70-92):
+                # set_info [[set_size, num_blocks]], d_model/nhead/
+                # dim_feedforward lists, INPUT_LAYER.window_shape
+                # [[wx, wy, wz]] + hybrid_factor
+                il = bb3d.get("INPUT_LAYER", {})
+                win = tuple(il.get("window_shape", [[12, 12, 1]])[0][:2])
+                hyb = tuple(il.get("hybrid_factor", [2, 2, 1])[:2])
+                self.backbone_3d = DSVTBackbone(
+                    dim=int(bb3d.d_model[0]),
+                    num_heads=int(bb3d.nhead[0]),
+                    num_blocks=int(bb3d.set_info[0][1]),
+                    window_shape=win,
+                    set_size=int(bb3d.set_info[0][0]),
+                    max_sets=int(bb3d.get("MAX_SETS", 1024)),
+                    grid_size=(nx, ny),
+                    hybrid_factor=hyb,
+                    dim_ff=int(bb3d.get("dim_feedforward", [0])[0]),
+                    dtype=self.dtype,
+                )
+            else:
+                self.backbone_3d = DSVTBackbone(
+                    dim=int(bb3d.get("DIM", 128)),
+                    num_heads=int(bb3d.get("NUM_HEADS", 8)),
+                    num_blocks=int(bb3d.get("NUM_BLOCKS", 4)),
+                    window_shape=tuple(bb3d.get("WINDOW_SHAPE", (12, 12))),
+                    set_size=int(bb3d.get("SET_SIZE", 36)),
+                    max_sets=int(bb3d.get("MAX_SETS", 1024)),
+                    grid_size=(nx, ny),
+                    hybrid_factor=tuple(bb3d.get("HYBRID_FACTOR", (2, 2))),
+                    dim_ff=int(bb3d.get("DIM_FEEDFORWARD", 0)),
+                    dtype=self.dtype,
+                )
         elif self._use_voxel_backbone:
             # voxel CenterPoint: MeanVFE + sparse 3D backbone (the reference's
             # alternative config, centerpoint_nuscenes2kitti.yaml:100-180)
@@ -185,11 +208,7 @@ class CenterPoint(nn.Module):
                 feats, coords, valid = jax.vmap(pillarize_one)(
                     batch.points, batch.points_valid
                 )
-            out = nn.vmap(
-                lambda m, f, c, v: m(f, c, v, train),
-                variable_axes={"params": None, "batch_stats": None},
-                split_rngs={"params": False}, in_axes=0,
-            )(self.backbone_3d, feats, coords, valid)
+            out = self.backbone_3d(feats, coords, valid, train)
             # scatter pillars to the dense BEV
             b = feats.shape[0]
             cells = nx * ny

@@ -8,9 +8,12 @@ TPU redesign, fully static shapes:
   pillar to slot (set_base + ingroup_index) of a padded set buffer —
   overflow pillars beyond MAX_SETS·SET_SIZE drop (capacity semantics like the
   voxel caps elsewhere);
-* rotated-set attention: blocks alternate x-major / y-major within-window
-  ordering (the reference's rotating permutation) with masked MHA per set;
-* relative-in-window position encodings added per block.
+* rotated-set attention: each block runs two encoder layers (y-major then
+  x-major within-window ordering — the reference's rotating permutation)
+  with masked MHA per set; odd blocks use the hybrid-factor-scaled window
+  shifted by half the base window (shifts_list semantics);
+* learned in-window position embeddings (Linear→BN→ReLU→Linear on centered
+  window coords) per encoder layer.
 Output is the same pillar list with transformed features (stride 1), scattered
 to a dense BEV by the caller.
 """
@@ -27,23 +30,34 @@ from ..core.voxel.sparse_ops import ingroup_inds
 
 
 class _SetAttention(nn.Module):
+    """Reference DSVT_EncoderLayer + SetAttention (dsvt.py:198-278):
+    q = k = x + pos, v = x (pos is NOT added to values), masked MHA →
+    +residual → LN1 → FFN(dim_ff, gelu) → +residual → LN2, then the
+    encoder layer's outer +identity → LN."""
+
     dim: int
     num_heads: int
+    dim_ff: int = 0  # 0 → 2*dim (the shipped configs' dim_feedforward)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, sets, set_mask, pos):
         """sets (S, L, C); set_mask (S, L); pos (S, L, C) position encoding."""
-        x = sets + pos
+        identity = sets
+        qk_in = (sets + pos).astype(self.dtype)
         attn_mask = jnp.where(
             set_mask[:, None, None, :], 0.0, -1e9
         )  # (S, 1, 1, L)
+        hd = self.dim // self.num_heads
         # masked attention, implemented directly to inject the key mask
-        qkv = nn.DenseGeneral((3, self.num_heads, self.dim // self.num_heads),
-                              dtype=self.dtype, param_dtype=jnp.float32,
-                              name="qkv")(x.astype(self.dtype))
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        scale = (self.dim // self.num_heads) ** -0.5
+        q = nn.DenseGeneral((self.num_heads, hd), dtype=self.dtype,
+                            param_dtype=jnp.float32, name="q")(qk_in)
+        k = nn.DenseGeneral((self.num_heads, hd), dtype=self.dtype,
+                            param_dtype=jnp.float32, name="k")(qk_in)
+        v = nn.DenseGeneral((self.num_heads, hd), dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name="v")(sets.astype(self.dtype))
+        scale = hd ** -0.5
         logits = jnp.einsum("slhd,smhd->shlm", q * scale, k).astype(jnp.float32)
         logits = logits + attn_mask
         w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
@@ -53,19 +67,25 @@ class _SetAttention(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="ln1")(
             (sets + out).astype(jnp.float32)
         ).astype(self.dtype)
-        ff = nn.Dense(self.dim * 2, dtype=self.dtype, param_dtype=jnp.float32,
+        ff_dim = self.dim_ff or self.dim * 2
+        ff = nn.Dense(ff_dim, dtype=self.dtype, param_dtype=jnp.float32,
                       name="ffn1")(y)
         ff = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                       name="ffn2")(nn.gelu(ff, approximate=False))
         z = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="ln2")(
             (y + ff).astype(jnp.float32)
         ).astype(self.dtype)
+        z = nn.LayerNorm(epsilon=1e-5, param_dtype=jnp.float32, name="ln3")(
+            (identity + z).astype(jnp.float32)
+        ).astype(self.dtype)
         return jnp.where(set_mask[..., None], z, 0.0)
 
 
 class DSVTBackbone(nn.Module):
-    """Operates on one frame's pillar list: feats (P, C), coords (P, 2) int
-    BEV cells, valid (P,). vmap over the batch."""
+    """Operates on the batch's pillar lists: feats (B, P, C), coords
+    (B, P, 2) int BEV cells, valid (B, P). Each block alternates between
+    the base window and the hybrid-scaled shifted window, with y-axis and
+    x-axis rotated-set encoder layers inside (reference DSVTBlock)."""
 
     dim: int = 128
     num_heads: int = 8
@@ -74,18 +94,32 @@ class DSVTBackbone(nn.Module):
     set_size: int = 36
     max_sets: int = 1024
     grid_size: Tuple[int, int] = (512, 512)
+    # odd blocks use the hybrid-scaled window shifted by half the base
+    # window (reference hybrid_factor [2,2,1] + shifts_list [[0,0],[6,6]],
+    # dsvt.py:366-372 / dsvt_pillar.yaml:77-79)
+    hybrid_factor: Tuple[int, int] = (2, 2)
+    dim_ff: int = 0  # 0 → 2*dim
     dtype: jnp.dtype = jnp.float32
 
-    def _partition(self, coords, valid, x_major: bool):
-        """→ (set_ids (P,), slot (P,), in-window xy (P, 2))"""
-        wx, wy = self.window_shape
-        nx, _ = self.grid_size
-        win_x = coords[:, 0] // wx
-        win_y = coords[:, 1] // wy
-        n_win_x = -(-self.grid_size[0] // wx)
-        win_id = win_y * n_win_x + win_x
-        inx = coords[:, 0] % wx
-        iny = coords[:, 1] % wy
+    def _partition(self, coords, batch_idx, valid, x_major: bool,
+                   window_shape: Tuple[int, int], shift: Tuple[int, int],
+                   num_batch: int):
+        """coords (N, 2) flat across the batch, batch_idx (N,) →
+        (set_ids (N,), slot (N,), in-window xy (N, 2)). Windows are
+        batch-offset (the reference's batch_win_inds, dsvt.py:497-515), so
+        one sort covers the whole batch."""
+        wx, wy = window_shape
+        nx, ny = self.grid_size
+        sx_coord = coords[:, 0] + shift[0]
+        sy_coord = coords[:, 1] + shift[1]
+        win_x = sx_coord // wx
+        win_y = sy_coord // wy
+        n_win_x = -(-(nx + wx) // wx)
+        n_win_y = -(-(ny + wy) // wy)
+        win_id = (batch_idx * (n_win_x * n_win_y)
+                  + win_y * n_win_x + win_x)
+        inx = sx_coord % wx
+        iny = sy_coord % wy
         inner = inx * wy + iny if x_major else iny * wx + inx
         # order pillars within a window by the chosen major: sort by the
         # combined (window, inner) key, then rank within each window — the
@@ -106,59 +140,116 @@ class DSVTBackbone(nn.Module):
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), set_key_sorted[1:] != set_key_sorted[:-1]]
         ) & valid_sorted
+        cap_sets = num_batch * self.max_sets
         seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-        seg = jnp.where(valid_sorted & (seg < self.max_sets), seg, self.max_sets)
+        seg = jnp.where(valid_sorted & (seg < cap_sets), seg, cap_sets)
         set_ids = jnp.zeros_like(seg).at[order].set(seg)
-        set_ids = jnp.where(valid & (rank >= 0), set_ids, self.max_sets)
+        set_ids = jnp.where(valid & (rank >= 0), set_ids, cap_sets)
         return set_ids, slot_in_set, jnp.stack([inx, iny], axis=-1)
 
     @nn.compact
     def __call__(self, feats, coords, valid, train: bool = False):
-        p, _ = feats.shape
-        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="input_proj")(feats.astype(self.dtype))
-        wx, wy = self.window_shape
+        """feats (B, P, C), coords (B, P, 2) int BEV cells, valid (B, P) →
+        (B, P, dim). The batch is flattened internally: windows (and hence
+        sets) are batch-offset, so every sort/scatter covers the whole
+        batch at once and the pos-embed BatchNorm sees full-batch
+        statistics (the torch BN1d contract)."""
+        b, p, _ = feats.shape
+        flat = feats.reshape(b * p, -1)
+        coords = coords.reshape(b * p, 2)
+        valid = valid.reshape(b * p)
+        batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
 
+        # the reference DSVT has no input projection — the VFE already emits
+        # d_model channels (dsvt_pillar.yaml NUM_FILTERS [192,192]); project
+        # only when the input width differs (e.g. the MeanVFE fallback)
+        x = flat.astype(self.dtype)
+        if flat.shape[-1] != self.dim:
+            x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="input_proj")(x)
+        wx0, wy0 = self.window_shape
+        hx, hy = self.hybrid_factor
+
+        geoms = (((wx0, wy0), (0, 0)),
+                 ((wx0 * hx, wy0 * hy), (wx0 // 2, wy0 // 2)))
         for blk in range(self.num_blocks):
-            x_major = blk % 2 == 0
-            set_ids, slot, inner_xy = self._partition(coords, valid, x_major)
-            s, l = self.max_sets, self.set_size
-            flat_slot = jnp.where(
-                (set_ids < s) & (slot < l), set_ids * l + slot, s * l
-            )
-            buf = (
-                jnp.zeros((s * l + 1, self.dim), x.dtype)
-                .at[flat_slot].set(x, mode="drop")
-            )
-            src_of = (
-                jnp.full((s * l + 1,), p, jnp.int32)
-                .at[flat_slot].set(jnp.arange(p, dtype=jnp.int32), mode="drop")
-            )
-            sets = buf[: s * l].reshape(s, l, self.dim)
-            set_mask = (src_of[: s * l] < p).reshape(s, l)
-
-            # in-window relative position encoding
-            pe_in = (inner_xy.astype(jnp.float32)
-                     / jnp.asarray([wx, wy], jnp.float32))
-            pe = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                          name=f"pos{blk}")(pe_in)
-            pe_buf = (
-                jnp.zeros((s * l + 1, self.dim), pe.dtype)
-                .at[flat_slot].set(pe, mode="drop")
-            )[: s * l].reshape(s, l, self.dim)
-
-            out_sets = _SetAttention(self.dim, self.num_heads,
-                                     dtype=self.dtype, name=f"block{blk}")(
-                sets, set_mask, pe_buf
-            )
-            # gather back to the pillar list (pillars beyond set capacity
-            # keep their previous features)
-            flat_out = out_sets.reshape(s * l, self.dim)
-            gathered = jnp.take(
-                jnp.concatenate([flat_out, jnp.zeros((1, self.dim), x.dtype)]),
-                jnp.minimum(flat_slot, s * l), axis=0,
-            )
-            in_set = flat_slot < s * l
-            x = jnp.where(in_set[:, None], gathered, x)
+            # reference DSVTBlock (dsvt.py:161-195): shift_id = block_id % 2
+            # picks base-vs-hybrid(shifted) windows; the two encoder layers
+            # inside the block run y-axis then x-axis set partitions.
+            wshape, shift = geoms[blk % 2]
+            residual = x
+            for li, x_major in enumerate((False, True)):
+                # the reference's pos embed for layer i is computed from the
+                # SHIFT-i window geometry, not the block's (the acknowledged
+                # pos_embed mismatch at dsvt.py:184-191) — replicated here
+                # for checkpoint compatibility
+                pos_wshape, pos_shift = geoms[li]
+                x = self._encoder_layer(
+                    x, coords, batch_idx, valid, train, x_major, wshape,
+                    shift, pos_wshape, pos_shift,
+                    name=f"block{blk}_{li}", num_batch=b)
+            # block-level residual + norm (dsvt.py:123-129 residual_norm)
+            x = nn.LayerNorm(
+                epsilon=1e-5, param_dtype=jnp.float32,
+                name=f"res_norm{blk}")(
+                (x + residual).astype(jnp.float32)).astype(self.dtype)
             x = jnp.where(valid[:, None], x, 0.0)
-        return x
+        return x.reshape(b, p, self.dim)
+
+    def _encoder_layer(self, x, coords, batch_idx, valid, train, x_major,
+                       wshape, shift, pos_wshape, pos_shift, name,
+                       num_batch):
+        from .vfe import MaskedBatchNorm
+
+        p = x.shape[0]
+        set_ids, slot, _ = self._partition(
+            coords, batch_idx, valid, x_major, wshape, shift, num_batch)
+        # pos-embed in-window coords use the layer-indexed geometry (see
+        # __call__); computed directly — no sort needed
+        inner_xy = jnp.stack(
+            [(coords[:, 0] + pos_shift[0]) % pos_wshape[0],
+             (coords[:, 1] + pos_shift[1]) % pos_wshape[1]], axis=-1)
+        s, l = num_batch * self.max_sets, self.set_size
+        flat_slot = jnp.where(
+            (set_ids < s) & (slot < l), set_ids * l + slot, s * l
+        )
+        buf = (
+            jnp.zeros((s * l + 1, self.dim), x.dtype)
+            .at[flat_slot].set(x, mode="drop")
+        )
+        src_of = (
+            jnp.full((s * l + 1,), p, jnp.int32)
+            .at[flat_slot].set(jnp.arange(p, dtype=jnp.int32), mode="drop")
+        )
+        sets = buf[: s * l].reshape(s, l, self.dim)
+        set_mask = (src_of[: s * l] < p).reshape(s, l)
+
+        # learned in-window position embedding, centered coords
+        # (PositionEmbeddingLearned: Linear→BN→ReLU→Linear on
+        # coors_in_win − window/2, dsvt_utils.py:10-24, dsvt.py:580-615)
+        pe_in = (inner_xy.astype(jnp.float32)
+                 - 0.5 * jnp.asarray(pos_wshape, jnp.float32))
+        pe = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                      name=f"{name}_pos_fc1")(pe_in)
+        pe = MaskedBatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             name=f"{name}_pos_bn")(pe, valid, train)
+        pe = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                      name=f"{name}_pos_fc2")(nn.relu(pe))
+        pe_buf = (
+            jnp.zeros((s * l + 1, self.dim), pe.dtype)
+            .at[flat_slot].set(pe, mode="drop")
+        )[: s * l].reshape(s, l, self.dim)
+
+        out_sets = _SetAttention(self.dim, self.num_heads,
+                                 dim_ff=self.dim_ff, dtype=self.dtype,
+                                 name=name)(sets, set_mask, pe_buf)
+        # gather back to the pillar list (pillars beyond set capacity
+        # keep their previous features)
+        flat_out = out_sets.reshape(s * l, self.dim)
+        gathered = jnp.take(
+            jnp.concatenate([flat_out, jnp.zeros((1, self.dim), x.dtype)]),
+            jnp.minimum(flat_slot, s * l), axis=0,
+        )
+        in_set = flat_slot < s * l
+        x = jnp.where(in_set[:, None], gathered, x)
+        return jnp.where(valid[:, None], x, 0.0)

@@ -41,6 +41,7 @@ __all__ = [
     "pointrcnn_head_mapping",
     "second_head_mapping",
     "pfn_mapping",
+    "dsvt_mapping",
     "apply_mapping",
 ]
 
@@ -159,6 +160,77 @@ def pfn_mapping(num_pfn, m=None, ours_prefix=("vfe",), ref_prefix="vfe",
         else:
             m[("params",) + pfx + (f"pfn_{i}", "Dense_0", "bias")] = (
                 f"{ref_prefix}.pfn_layers.{i}.linear.bias", t_identity)
+    return m
+
+
+def dsvt_mapping(num_blocks=4, num_heads=8, ours_prefix=("backbone_3d",),
+                 ref_prefix="backbone_3d"
+                 ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for the DSVT backbone (dsvt.py:10-160): per block, two
+    encoder layers (win_attn MultiheadAttention packed in_proj → our split
+    q/k/v DenseGenerals, out_proj, linear1/2 FFN, norm1/norm2 + the encoder
+    layer's outer norm), the per-layer PositionEmbeddingLearned heads
+    (input_layer.posembed_layers), and residual_norm_stage_0."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    pfx = tuple(ours_prefix)
+
+    def t_inproj(part):
+        def f(w):  # (3C, C) packed rows: q, k, v
+            c = w.shape[1]
+            blockw = w[part * c:(part + 1) * c]
+            return np.ascontiguousarray(
+                blockw.transpose(1, 0).reshape(c, num_heads, c // num_heads))
+        return f
+
+    def t_inproj_bias(part):
+        def f(b):
+            c = b.shape[0] // 3
+            return np.ascontiguousarray(
+                b[part * c:(part + 1) * c].reshape(num_heads, c // num_heads))
+        return f
+
+    def _ln(ours, ref):
+        m[("params",) + ours + ("scale",)] = (f"{ref}.weight", t_identity)
+        m[("params",) + ours + ("bias",)] = (f"{ref}.bias", t_identity)
+
+    for blk in range(num_blocks):
+        for li in range(2):
+            base = f"{ref_prefix}.stage_0.{blk}.encoder_list.{li}"
+            name = f"block{blk}_{li}"
+            for pi, pn in enumerate(("q", "k", "v")):
+                m[("params",) + pfx + (name, pn, "kernel")] = (
+                    f"{base}.win_attn.self_attn.in_proj_weight", t_inproj(pi))
+                m[("params",) + pfx + (name, pn, "bias")] = (
+                    f"{base}.win_attn.self_attn.in_proj_bias",
+                    t_inproj_bias(pi))
+            m[("params",) + pfx + (name, "proj", "kernel")] = (
+                f"{base}.win_attn.self_attn.out_proj.weight", t_linear)
+            m[("params",) + pfx + (name, "proj", "bias")] = (
+                f"{base}.win_attn.self_attn.out_proj.bias", t_identity)
+            m[("params",) + pfx + (name, "ffn1", "kernel")] = (
+                f"{base}.win_attn.linear1.weight", t_linear)
+            m[("params",) + pfx + (name, "ffn1", "bias")] = (
+                f"{base}.win_attn.linear1.bias", t_identity)
+            m[("params",) + pfx + (name, "ffn2", "kernel")] = (
+                f"{base}.win_attn.linear2.weight", t_linear)
+            m[("params",) + pfx + (name, "ffn2", "bias")] = (
+                f"{base}.win_attn.linear2.bias", t_identity)
+            _ln(pfx + (name, "ln1"), f"{base}.win_attn.norm1")
+            _ln(pfx + (name, "ln2"), f"{base}.win_attn.norm2")
+            _ln(pfx + (name, "ln3"), f"{base}.norm")
+            pb = (f"{ref_prefix}.input_layer.posembed_layers.0.{blk}.{li}"
+                  ".position_embedding_head")
+            m[("params",) + pfx + (f"{name}_pos_fc1", "kernel")] = (
+                f"{pb}.0.weight", t_linear)
+            m[("params",) + pfx + (f"{name}_pos_fc1", "bias")] = (
+                f"{pb}.0.bias", t_identity)
+            _bn(m, pfx + (f"{name}_pos_bn",), f"{pb}.1")
+            m[("params",) + pfx + (f"{name}_pos_fc2", "kernel")] = (
+                f"{pb}.3.weight", t_linear)
+            m[("params",) + pfx + (f"{name}_pos_fc2", "bias")] = (
+                f"{pb}.3.bias", t_identity)
+        _ln(pfx + (f"res_norm{blk}",),
+            f"{ref_prefix}.residual_norm_stage_0.{blk}")
     return m
 
 

@@ -1007,3 +1007,121 @@ class TestDynVoxelVFEParity:
                     err_msg=str(key))
                 count += 1
         assert count == len(ref_map), (count, len(ref_map))
+
+
+class TestDSVTParity:
+    """Our DSVTBackbone vs the reference's own DSVT blocks (dsvt.py:10-278)
+    on a fully-occupied grid where every window's voxel count is an exact
+    multiple of set_size — then the reference's Eq.3 balanced set partition
+    degenerates to contiguous rank chunks (provably equal to ours) with no
+    padding or duplication, and the whole 2-block forward (y/x rotated-set
+    attention, hybrid shifted windows, pos-embed MLPs incl. the reference's
+    layer-indexed pos geometry, all residual norms) must match numerically.
+
+    The set partition itself is rebuilt in numpy from the reference's sort
+    keys (get_set_single_shift, dsvt.py:514-570) because its inner-index op
+    is CUDA-only; with unique keys the argsort grouping is the contract."""
+
+    DIM, HEADS, BLOCKS, SS = 16, 2, 2, 4
+    GRID2 = (8, 8)
+    WIN = (4, 4)
+
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        install_reference_stubs()
+        from pcdet.models.backbones_3d.dsvt import DSVT
+
+        from dfu3d_tpu.models.dsvt import DSVTBackbone
+
+        nx, ny = self.GRID2
+        cfg = EDict(dict(
+            INPUT_LAYER=dict(
+                sparse_shape=[nx, ny, 1], downsample_stride=[],
+                d_model=[self.DIM], set_info=[[self.SS, self.BLOCKS]],
+                window_shape=[[self.WIN[0], self.WIN[1], 1]],
+                hybrid_factor=[2, 2, 1],
+                shifts_list=[[[0, 0, 0],
+                              [self.WIN[0] // 2, self.WIN[1] // 2, 0]]],
+                normalize_pos=False,
+            ),
+            block_name=["DSVTBlock"], set_info=[[self.SS, self.BLOCKS]],
+            d_model=[self.DIM], nhead=[self.HEADS], dim_feedforward=[32],
+            dropout=0.0, activation="gelu", output_shape=[nx, ny],
+            conv_out_channel=self.DIM,
+        ))
+        torch.manual_seed(11)
+        with no_cuda():
+            ref = DSVT(cfg)
+        _randomize_bn(ref)
+        ref.eval()
+
+        ours = DSVTBackbone(
+            dim=self.DIM, num_heads=self.HEADS, num_blocks=self.BLOCKS,
+            window_shape=self.WIN, set_size=self.SS, max_sets=64,
+            grid_size=self.GRID2, hybrid_factor=(2, 2), dim_ff=32,
+        )
+        return ref, ours
+
+    def _ref_sets(self, ix, iy, wshape, shift):
+        """Reference set partition (get_window_coors + get_set_single_shift)
+        via numpy argsort over the unique (win, inner) keys."""
+        wx, wy = wshape
+        nx, ny = self.GRID2
+        sx, sy = ix + shift[0], iy + shift[1]
+        winx, winy = sx // wx, sy // wy
+        n_win_y = -(-ny // wy) + 1
+        win = winx * n_win_y + winy
+        inx, iny = sx % wx, sy % wy
+        key_y = win * (wx * wy) + iny * wx + inx
+        key_x = win * (wx * wy) + inx * wy + iny
+        sets_y = np.argsort(key_y).reshape(-1, self.SS)
+        sets_x = np.argsort(key_x).reshape(-1, self.SS)
+        return np.stack([sets_y, sets_x])
+
+    def test_full_forward_equality(self, setup):
+        ref, ours = setup
+        nx, ny = self.GRID2
+        iy, ix = np.mgrid[0:ny, 0:nx]
+        ix, iy = ix.reshape(-1), iy.reshape(-1)
+        n = nx * ny
+        rng = np.random.RandomState(21)
+        feats = rng.randn(n, self.DIM).astype(np.float32)
+
+        wx, wy = self.WIN
+        geoms = [((wx, wy), (0, 0)), ((2 * wx, 2 * wy), (wx // 2, wy // 2))]
+        set_inds, set_masks, coors_in_win = [], [], []
+        for wshape, shift in geoms:
+            s = self._ref_sets(ix, iy, wshape, shift)
+            set_inds.append(torch.from_numpy(s).long())
+            set_masks.append(torch.zeros(s.shape, dtype=torch.bool))
+            inz = np.zeros_like(ix)
+            cw = np.stack([inz, (iy + shift[1]) % wshape[1],
+                           (ix + shift[0]) % wshape[0]], axis=-1)
+            coors_in_win.append(torch.from_numpy(cw).float())
+
+        with torch.no_grad():
+            out = torch.from_numpy(feats)
+            for blk in range(self.BLOCKS):
+                pos = [ref.input_layer.get_pos_embed(coors_in_win[i], 0, blk, i)
+                       for i in range(2)]
+                residual = out.clone()
+                out = ref.stage_0[blk](out, set_inds, set_masks, pos,
+                                       block_id=blk)
+                out = ref.residual_norm_stage_0[blk](out + residual)
+            want = out.numpy()
+
+        coords = np.stack([ix, iy], -1)[None].astype(np.int32)
+        variables = ours.init(
+            jax.random.PRNGKey(0), jnp.asarray(feats[None]),
+            jnp.asarray(coords), jnp.ones((1, n), bool), False)
+        state = {f"backbone_3d.{k}": v.numpy()
+                 for k, v in ref.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state,
+            tc.dsvt_mapping(num_blocks=self.BLOCKS, num_heads=self.HEADS,
+                            ours_prefix=()))
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        got = ours.apply(new_vars, jnp.asarray(feats[None]),
+                         jnp.asarray(coords), jnp.ones((1, n), bool), False)
+        np.testing.assert_allclose(np.asarray(got)[0], want,
+                                   rtol=2e-4, atol=2e-4)
