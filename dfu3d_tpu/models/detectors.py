@@ -78,28 +78,52 @@ class CenterPoint(nn.Module):
                     "MeanVFE", "DynPillarVFE", "DynamicPillarVFE"), vfe_cfg.NAME
                 self.vfe = None
 
-            nx, ny, _ = self.grid.grid_size
+            nx, ny, nz_grid = self.grid.grid_size
             bb3d = cfg.BACKBONE_3D
+            self._dsvt_voxel = False
             if "set_info" in bb3d:
                 # the reference's native schema (dsvt_pillar.yaml:70-92):
                 # set_info [[set_size, num_blocks]], d_model/nhead/
                 # dim_feedforward lists, INPUT_LAYER.window_shape
                 # [[wx, wy, wz]] + hybrid_factor
                 il = bb3d.get("INPUT_LAYER", {})
-                win = tuple(il.get("window_shape", [[12, 12, 1]])[0][:2])
-                hyb = tuple(il.get("hybrid_factor", [2, 2, 1])[:2])
-                self.backbone_3d = DSVTBackbone(
-                    dim=int(bb3d.d_model[0]),
-                    num_heads=int(bb3d.nhead[0]),
-                    num_blocks=int(bb3d.set_info[0][1]),
-                    window_shape=win,
-                    set_size=int(bb3d.set_info[0][0]),
-                    max_sets=int(bb3d.get("MAX_SETS", 1024)),
-                    grid_size=(nx, ny),
-                    hybrid_factor=hyb,
-                    dim_ff=int(bb3d.get("dim_feedforward", [0])[0]),
-                    dtype=self.dtype,
-                )
+                stages = [tuple(si) for si in bb3d.set_info]
+                wins3 = [tuple(w) for w in il.get(
+                    "window_shape", [[12, 12, 1]])]
+                hyb3 = tuple(il.get("hybrid_factor", [2, 2, 1]))
+                sparse3 = tuple(il.get("sparse_shape", [nx, ny, nz_grid]))
+                self._dsvt_voxel = len(stages) > 1 or sparse3[2] > 1
+                if self._dsvt_voxel:
+                    # multi-stage 3D DSVT (dsvt_voxel.yaml:71-94)
+                    from .dsvt import DSVTVoxelBackbone
+
+                    self.backbone_3d = DSVTVoxelBackbone(
+                        dim=int(bb3d.d_model[0]),
+                        num_heads=int(bb3d.nhead[0]),
+                        set_info=tuple(stages),
+                        window_shape=tuple(wins3),
+                        downsample_stride=tuple(
+                            tuple(d) for d in il.get(
+                                "downsample_stride", [])),
+                        sparse_shape=sparse3,
+                        hybrid_factor=hyb3,
+                        max_sets=int(bb3d.get("MAX_SETS", 1024)),
+                        dim_ff=int(bb3d.get("dim_feedforward", [0])[0]),
+                        dtype=self.dtype,
+                    )
+                else:
+                    self.backbone_3d = DSVTBackbone(
+                        dim=int(bb3d.d_model[0]),
+                        num_heads=int(bb3d.nhead[0]),
+                        num_blocks=int(stages[0][1]),
+                        window_shape=wins3[0][:2],
+                        set_size=int(stages[0][0]),
+                        max_sets=int(bb3d.get("MAX_SETS", 1024)),
+                        grid_size=(nx, ny),
+                        hybrid_factor=hyb3[:2],
+                        dim_ff=int(bb3d.get("dim_feedforward", [0])[0]),
+                        dtype=self.dtype,
+                    )
             else:
                 self.backbone_3d = DSVTBackbone(
                     dim=int(bb3d.get("DIM", 128)),
@@ -203,22 +227,34 @@ class CenterPoint(nn.Module):
                         num_segments=self.max_voxels,
                     )
                     feats = sums / jnp.maximum(counts, 1.0)[:, None]
-                    return feats, vox.voxel_coords[:, :2], vox.voxel_valid
+                    return feats, vox.voxel_coords, vox.voxel_valid
 
-                feats, coords, valid = jax.vmap(pillarize_one)(
+                feats, coords3, valid = jax.vmap(pillarize_one)(
                     batch.points, batch.points_valid
                 )
-            out = self.backbone_3d(feats, coords, valid, train)
-            # scatter pillars to the dense BEV
+                coords = coords3[..., :2]
             b = feats.shape[0]
             cells = nx * ny
-            lin = coords[..., 1] * nx + coords[..., 0]
-            lin = jnp.where(valid, lin + jnp.arange(b)[:, None] * cells,
-                            b * cells)
+            if self._dsvt_voxel:
+                # multi-stage 3D DSVT: flat output with per-voxel batch ids
+                out, bev_xy, bidx, out_valid = self.backbone_3d(
+                    feats, coords3, valid, train)
+                lin = jnp.where(
+                    out_valid,
+                    bidx * cells + bev_xy[:, 1] * nx + bev_xy[:, 0],
+                    b * cells)
+            else:
+                out = self.backbone_3d(feats, coords, valid, train)
+                out = out.reshape(-1, out.shape[-1])
+                lin = coords[..., 1] * nx + coords[..., 0]
+                lin = jnp.where(
+                    valid, lin + jnp.arange(b)[:, None] * cells, b * cells
+                ).reshape(-1)
+            # scatter pillars to the dense BEV
             dense = (
                 jnp.zeros((b * cells + 1, out.shape[-1]), out.dtype)
-                .at[lin.reshape(-1)]
-                .set(out.reshape(-1, out.shape[-1]), mode="drop")
+                .at[lin]
+                .set(out, mode="drop")
             )[: b * cells]
             bev = dense.reshape(b, ny, nx, -1)
         elif self._use_voxel_backbone:

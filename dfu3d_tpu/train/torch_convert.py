@@ -42,6 +42,7 @@ __all__ = [
     "second_head_mapping",
     "pfn_mapping",
     "dsvt_mapping",
+    "dsvt_voxel_mapping",
     "apply_mapping",
 ]
 
@@ -163,31 +164,75 @@ def pfn_mapping(num_pfn, m=None, ours_prefix=("vfe",), ref_prefix="vfe",
     return m
 
 
+def t_mha_inproj(part, num_heads):
+    """Split torch MultiheadAttention's packed in_proj (3C, C) row-block
+    `part` (0=q, 1=k, 2=v) into a DenseGeneral (C, H, C//H) kernel."""
+    def f(w):
+        c = w.shape[1]
+        blockw = w[part * c:(part + 1) * c]
+        return np.ascontiguousarray(
+            blockw.transpose(1, 0).reshape(c, num_heads, c // num_heads))
+    return f
+
+
+def t_mha_inproj_bias(part, num_heads):
+    def f(b):
+        c = b.shape[0] // 3
+        return np.ascontiguousarray(
+            b[part * c:(part + 1) * c].reshape(num_heads, c // num_heads))
+    return f
+
+
+def _dsvt_layer_entries(m, pfx, name, base, pb, num_heads):
+    """Entries for one DSVT encoder layer: win_attn MHA (packed in_proj →
+    split q/k/v DenseGenerals), out_proj, linear1/2 FFN, norm1/norm2 + the
+    encoder layer's outer norm, and the PositionEmbeddingLearned head."""
+    def _ln(ours, ref):
+        m[("params",) + ours + ("scale",)] = (f"{ref}.weight", t_identity)
+        m[("params",) + ours + ("bias",)] = (f"{ref}.bias", t_identity)
+
+    for pi, pn in enumerate(("q", "k", "v")):
+        m[("params",) + pfx + (name, pn, "kernel")] = (
+            f"{base}.win_attn.self_attn.in_proj_weight",
+            t_mha_inproj(pi, num_heads))
+        m[("params",) + pfx + (name, pn, "bias")] = (
+            f"{base}.win_attn.self_attn.in_proj_bias",
+            t_mha_inproj_bias(pi, num_heads))
+    m[("params",) + pfx + (name, "proj", "kernel")] = (
+        f"{base}.win_attn.self_attn.out_proj.weight", t_linear)
+    m[("params",) + pfx + (name, "proj", "bias")] = (
+        f"{base}.win_attn.self_attn.out_proj.bias", t_identity)
+    m[("params",) + pfx + (name, "ffn1", "kernel")] = (
+        f"{base}.win_attn.linear1.weight", t_linear)
+    m[("params",) + pfx + (name, "ffn1", "bias")] = (
+        f"{base}.win_attn.linear1.bias", t_identity)
+    m[("params",) + pfx + (name, "ffn2", "kernel")] = (
+        f"{base}.win_attn.linear2.weight", t_linear)
+    m[("params",) + pfx + (name, "ffn2", "bias")] = (
+        f"{base}.win_attn.linear2.bias", t_identity)
+    _ln(pfx + (name, "ln1"), f"{base}.win_attn.norm1")
+    _ln(pfx + (name, "ln2"), f"{base}.win_attn.norm2")
+    _ln(pfx + (name, "ln3"), f"{base}.norm")
+    m[("params",) + pfx + (f"{name}_pos_fc1", "kernel")] = (
+        f"{pb}.0.weight", t_linear)
+    m[("params",) + pfx + (f"{name}_pos_fc1", "bias")] = (
+        f"{pb}.0.bias", t_identity)
+    _bn(m, pfx + (f"{name}_pos_bn",), f"{pb}.1")
+    m[("params",) + pfx + (f"{name}_pos_fc2", "kernel")] = (
+        f"{pb}.3.weight", t_linear)
+    m[("params",) + pfx + (f"{name}_pos_fc2", "bias")] = (
+        f"{pb}.3.bias", t_identity)
+
+
 def dsvt_mapping(num_blocks=4, num_heads=8, ours_prefix=("backbone_3d",),
                  ref_prefix="backbone_3d"
                  ) -> Dict[Tuple, Tuple[str, Callable]]:
-    """Key mapping for the DSVT backbone (dsvt.py:10-160): per block, two
-    encoder layers (win_attn MultiheadAttention packed in_proj → our split
-    q/k/v DenseGenerals, out_proj, linear1/2 FFN, norm1/norm2 + the encoder
-    layer's outer norm), the per-layer PositionEmbeddingLearned heads
-    (input_layer.posembed_layers), and residual_norm_stage_0."""
+    """Key mapping for the single-stage (pillar) DSVT backbone
+    (dsvt.py:10-160): per block, two encoder layers, the per-layer
+    PositionEmbeddingLearned heads (input_layer.posembed_layers), and
+    residual_norm_stage_0."""
     m: Dict[Tuple, Tuple[str, Callable]] = {}
     pfx = tuple(ours_prefix)
-
-    def t_inproj(part):
-        def f(w):  # (3C, C) packed rows: q, k, v
-            c = w.shape[1]
-            blockw = w[part * c:(part + 1) * c]
-            return np.ascontiguousarray(
-                blockw.transpose(1, 0).reshape(c, num_heads, c // num_heads))
-        return f
-
-    def t_inproj_bias(part):
-        def f(b):
-            c = b.shape[0] // 3
-            return np.ascontiguousarray(
-                b[part * c:(part + 1) * c].reshape(num_heads, c // num_heads))
-        return f
 
     def _ln(ours, ref):
         m[("params",) + ours + ("scale",)] = (f"{ref}.weight", t_identity)
@@ -195,42 +240,60 @@ def dsvt_mapping(num_blocks=4, num_heads=8, ours_prefix=("backbone_3d",),
 
     for blk in range(num_blocks):
         for li in range(2):
-            base = f"{ref_prefix}.stage_0.{blk}.encoder_list.{li}"
-            name = f"block{blk}_{li}"
-            for pi, pn in enumerate(("q", "k", "v")):
-                m[("params",) + pfx + (name, pn, "kernel")] = (
-                    f"{base}.win_attn.self_attn.in_proj_weight", t_inproj(pi))
-                m[("params",) + pfx + (name, pn, "bias")] = (
-                    f"{base}.win_attn.self_attn.in_proj_bias",
-                    t_inproj_bias(pi))
-            m[("params",) + pfx + (name, "proj", "kernel")] = (
-                f"{base}.win_attn.self_attn.out_proj.weight", t_linear)
-            m[("params",) + pfx + (name, "proj", "bias")] = (
-                f"{base}.win_attn.self_attn.out_proj.bias", t_identity)
-            m[("params",) + pfx + (name, "ffn1", "kernel")] = (
-                f"{base}.win_attn.linear1.weight", t_linear)
-            m[("params",) + pfx + (name, "ffn1", "bias")] = (
-                f"{base}.win_attn.linear1.bias", t_identity)
-            m[("params",) + pfx + (name, "ffn2", "kernel")] = (
-                f"{base}.win_attn.linear2.weight", t_linear)
-            m[("params",) + pfx + (name, "ffn2", "bias")] = (
-                f"{base}.win_attn.linear2.bias", t_identity)
-            _ln(pfx + (name, "ln1"), f"{base}.win_attn.norm1")
-            _ln(pfx + (name, "ln2"), f"{base}.win_attn.norm2")
-            _ln(pfx + (name, "ln3"), f"{base}.norm")
-            pb = (f"{ref_prefix}.input_layer.posembed_layers.0.{blk}.{li}"
-                  ".position_embedding_head")
-            m[("params",) + pfx + (f"{name}_pos_fc1", "kernel")] = (
-                f"{pb}.0.weight", t_linear)
-            m[("params",) + pfx + (f"{name}_pos_fc1", "bias")] = (
-                f"{pb}.0.bias", t_identity)
-            _bn(m, pfx + (f"{name}_pos_bn",), f"{pb}.1")
-            m[("params",) + pfx + (f"{name}_pos_fc2", "kernel")] = (
-                f"{pb}.3.weight", t_linear)
-            m[("params",) + pfx + (f"{name}_pos_fc2", "bias")] = (
-                f"{pb}.3.bias", t_identity)
+            _dsvt_layer_entries(
+                m, pfx, f"block{blk}_{li}",
+                f"{ref_prefix}.stage_0.{blk}.encoder_list.{li}",
+                f"{ref_prefix}.input_layer.posembed_layers.0.{blk}.{li}"
+                ".position_embedding_head",
+                num_heads)
         _ln(pfx + (f"res_norm{blk}",),
             f"{ref_prefix}.residual_norm_stage_0.{blk}")
+    return m
+
+
+def dsvt_voxel_mapping(set_info=((48, 1),) * 4, num_heads=8,
+                       ours_prefix=("backbone_3d",),
+                       ref_prefix="backbone_3d"
+                       ) -> Dict[Tuple, Tuple[str, Callable]]:
+    """Key mapping for the multi-stage 3D DSVT (dsvt_voxel.yaml): per-stage
+    blocks/norms plus the Stage_ReductionAtt_Block pooling (dsvt.py:292-310:
+    packed-in_proj MHA, out_proj, norm, learned pos_embedding)."""
+    m: Dict[Tuple, Tuple[str, Callable]] = {}
+    pfx = tuple(ours_prefix)
+
+    def _ln(ours, ref):
+        m[("params",) + ours + ("scale",)] = (f"{ref}.weight", t_identity)
+        m[("params",) + ours + ("bias",)] = (f"{ref}.bias", t_identity)
+
+    n_stage = len(set_info)
+    for s, (_, num_blocks) in enumerate(set_info):
+        for blk in range(num_blocks):
+            for li in range(2):
+                _dsvt_layer_entries(
+                    m, pfx, f"stage{s}_block{blk}_{li}",
+                    f"{ref_prefix}.stage_{s}.{blk}.encoder_list.{li}",
+                    f"{ref_prefix}.input_layer.posembed_layers.{s}.{blk}"
+                    f".{li}.position_embedding_head",
+                    num_heads)
+            _ln(pfx + (f"stage{s}_res_norm{blk}",),
+                f"{ref_prefix}.residual_norm_stage_{s}.{blk}")
+        if s < n_stage - 1:
+            red = f"{ref_prefix}.stage_{s}_reduction"
+            name = f"stage{s}_reduction"
+            # the reduction attention is hardcoded to 8 heads in the
+            # reference (dsvt.py:298); ours mirrors that default
+            for pi, pn in enumerate(("q", "k", "v")):
+                m[("params",) + pfx + (name, pn, "kernel")] = (
+                    f"{red}.self_attn.in_proj_weight", t_mha_inproj(pi, 8))
+                m[("params",) + pfx + (name, pn, "bias")] = (
+                    f"{red}.self_attn.in_proj_bias", t_mha_inproj_bias(pi, 8))
+            m[("params",) + pfx + (name, "proj", "kernel")] = (
+                f"{red}.self_attn.out_proj.weight", t_linear)
+            m[("params",) + pfx + (name, "proj", "bias")] = (
+                f"{red}.self_attn.out_proj.bias", t_identity)
+            _ln(pfx + (name, "norm"), f"{red}.norm")
+            m[("params",) + pfx + (name, "pos_embedding")] = (
+                f"{red}.pos_embedding", t_identity)
     return m
 
 

@@ -1125,3 +1125,176 @@ class TestDSVTParity:
                          jnp.asarray(coords), jnp.ones((1, n), bool), False)
         np.testing.assert_allclose(np.asarray(got)[0], want,
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestDSVTVoxelParity:
+    """Multi-stage 3D DSVT vs the reference's own blocks + attention
+    pooling (dsvt.py:10-330) on a fully-occupied 4×4×4 grid where every
+    window (base and hybrid-shifted) holds an exact multiple of set_size —
+    the balanced set partition then equals contiguous rank chunks with no
+    padding/duplication. Stage 0 runs two blocks (base + shifted windows),
+    the attention reduction pools z 4→1, stage 1 runs one block whose
+    GLOBAL block id (2) selects the base window — pinning the reference's
+    cross-stage block_id counter (dsvt.py:117-130). Output rows matched by
+    pooled BEV coordinate."""
+
+    DIM, HEADS, SS = 16, 2, 4
+    GRID3 = (4, 4, 4)
+
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        install_reference_stubs()
+        from pcdet.models.backbones_3d.dsvt import DSVT
+
+        from dfu3d_tpu.models.dsvt import DSVTVoxelBackbone
+
+        nx, ny, nz = self.GRID3
+        cfg = EDict(dict(
+            INPUT_LAYER=dict(
+                sparse_shape=[nx, ny, nz], downsample_stride=[[1, 1, 4]],
+                d_model=[self.DIM, self.DIM],
+                set_info=[[self.SS, 2], [self.SS, 1]],
+                window_shape=[[2, 2, 4], [2, 2, 1]],
+                hybrid_factor=[2, 2, 1],
+                shifts_list=[[[0, 0, 0], [1, 1, 0]],
+                             [[0, 0, 0], [1, 1, 0]]],
+                normalize_pos=False,
+            ),
+            block_name=["DSVTBlock", "DSVTBlock"],
+            set_info=[[self.SS, 2], [self.SS, 1]],
+            d_model=[self.DIM, self.DIM], nhead=[self.HEADS, self.HEADS],
+            dim_feedforward=[32, 32], dropout=0.0, activation="gelu",
+            reduction_type="attention", output_shape=[nx, ny],
+            conv_out_channel=self.DIM,
+        ))
+        torch.manual_seed(13)
+        with no_cuda():
+            ref = DSVT(cfg)
+        _randomize_bn(ref)
+        ref.eval()
+
+        ours = DSVTVoxelBackbone(
+            dim=self.DIM, num_heads=self.HEADS,
+            set_info=((self.SS, 2), (self.SS, 1)),
+            window_shape=((2, 2, 4), (2, 2, 1)),
+            downsample_stride=((1, 1, 4),),
+            sparse_shape=self.GRID3, hybrid_factor=(2, 2, 1),
+            max_sets=64, dim_ff=32,
+        )
+        return ref, ours
+
+    def _sets3d(self, ix, iy, iz, wshape, shift, grid):
+        """Reference 3D set partition via numpy argsort (exact-multiple
+        windows only): returns (2, nsets, SS) [y-major, x-major]."""
+        wx, wy, wz = wshape
+        nx, ny, nz = grid
+        sx, sy, sz = ix + shift[0], iy + shift[1], iz + shift[2]
+        n_wy = -(-ny // wy) + 1
+        n_wz = -(-nz // wz) + 1
+        win = ((sx // wx) * n_wy + sy // wy) * n_wz + sz // wz
+        inx, iny, inz = sx % wx, sy % wy, sz % wz
+        vol = wx * wy * wz
+        key_y = win * vol + (iny * wx + inx) * wz + inz
+        key_x = win * vol + (inx * wy + iny) * wz + inz
+        return np.stack([np.argsort(key_y).reshape(-1, self.SS),
+                         np.argsort(key_x).reshape(-1, self.SS)])
+
+    def _coors_in_win(self, ix, iy, iz, wshape, shift):
+        cw = np.stack([(iz + shift[2]) % wshape[2],
+                       (iy + shift[1]) % wshape[1],
+                       (ix + shift[0]) % wshape[0]], axis=-1)
+        return torch.from_numpy(cw).float()
+
+    def test_full_forward_equality(self, setup):
+        ref, ours = setup
+        nx, ny, nz = self.GRID3
+        iz, iy, ix = np.mgrid[0:nz, 0:ny, 0:nx]
+        ix, iy, iz = ix.reshape(-1), iy.reshape(-1), iz.reshape(-1)
+        n = nx * ny * nz
+        rng = np.random.RandomState(33)
+        feats = rng.randn(n, self.DIM).astype(np.float32)
+
+        # ---- reference forward, driven manually (the input layer's set op
+        # is CUDA-only; everything else is pure torch) ----
+        g0 = self.GRID3
+        geoms0 = [((2, 2, 4), (0, 0, 0)), ((4, 4, 4), (1, 1, 0))]
+        set_inds0 = [torch.from_numpy(
+            self._sets3d(ix, iy, iz, w, s, g0)).long() for w, s in geoms0]
+        masks0 = [torch.zeros(s.shape, dtype=torch.bool) for s in set_inds0]
+        cw0 = [self._coors_in_win(ix, iy, iz, w, s) for w, s in geoms0]
+
+        with torch.no_grad():
+            out = torch.from_numpy(feats)
+            for blk in range(2):
+                pos = [ref.input_layer.get_pos_embed(cw0[i], 0, blk, i)
+                       for i in range(2)]
+                residual = out.clone()
+                out = ref.stage_0[blk](out, set_inds0, masks0, pos,
+                                       block_id=blk)
+                out = ref.residual_norm_stage_0[blk](out + residual)
+
+            # subm pooling (dsvt.py:131-149 + subm_pooling)
+            coors_t = torch.from_numpy(np.stack(
+                [np.zeros_like(ix), iz, iy, ix], -1)).long()
+            vinfo = {"voxel_coors_stage0": coors_t,
+                     "voxel_feats_stage0": torch.from_numpy(feats)}
+            vinfo = ref.input_layer.subm_pooling(vinfo, 0)
+            prepool = vinfo["pooling_preholder_feats_stage1"].clone()
+            prepool[vinfo["pooling_mapping_index_stage1"],
+                    vinfo["pooling_index_in_pool_stage1"]] = out
+            np_pool, pv = prepool.shape[0], prepool.shape[1]
+            prepool = prepool.view(np_pool, pv, -1).permute(0, 2, 1)
+            kpm = torch.zeros((np_pool, pv), dtype=torch.bool)
+            out = ref.stage_0_reduction(prepool, kpm)
+            pool_coors = vinfo["voxel_coors_stage1"].numpy()  # (M, 4) bzyx
+
+            # stage 1, one block with GLOBAL block_id 2 → base window
+            px = pool_coors[:, 3]
+            py = pool_coors[:, 2]
+            pz = pool_coors[:, 1]
+            g1 = (nx, ny, 1)
+            geoms1 = [((2, 2, 1), (0, 0, 0)), ((4, 4, 1), (1, 1, 0))]
+            set_inds1 = [torch.from_numpy(
+                self._sets3d(px, py, pz, w, s, g1)).long()
+                for w, s in geoms1]
+            masks1 = [torch.zeros(s.shape, dtype=torch.bool)
+                      for s in set_inds1]
+            cw1 = [self._coors_in_win(px, py, pz, w, s) for w, s in geoms1]
+            pos = [ref.input_layer.get_pos_embed(cw1[i], 1, 0, i)
+                   for i in range(2)]
+            residual = out.clone()
+            out = ref.stage_1[0](out, set_inds1, masks1, pos, block_id=2)
+            out = ref.residual_norm_stage_1[0](out + residual)
+            want = out.numpy()
+
+        # ---- ours, through the converter ----
+        coords = np.stack([ix, iy, iz], -1)[None].astype(np.int32)
+        valid = np.ones((1, n), bool)
+        variables = ours.init(
+            jax.random.PRNGKey(0), jnp.asarray(feats[None]),
+            jnp.asarray(coords), jnp.asarray(valid), False)
+        state = {f"backbone_3d.{k}": v.numpy()
+                 for k, v in ref.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state,
+            tc.dsvt_voxel_mapping(set_info=((self.SS, 2), (self.SS, 1)),
+                                  num_heads=self.HEADS, ours_prefix=()))
+        assert not report["missing_in_torch"], report["missing_in_torch"]
+        got, bev_xy, bidx, ovalid = ours.apply(
+            new_vars, jnp.asarray(feats[None]), jnp.asarray(coords),
+            jnp.asarray(valid), False)
+        got, bev_xy, ovalid = map(np.asarray, (got, bev_xy, ovalid))
+
+        ref_map = {(int(px[i]), int(py[i])): want[i]
+                   for i in range(len(px))}
+        count = 0
+        for i in range(got.shape[0]):
+            if not ovalid[i]:
+                continue
+            key = (int(bev_xy[i, 0]), int(bev_xy[i, 1]))
+            assert key in ref_map, key
+            np.testing.assert_allclose(got[i], ref_map[key],
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=str(key))
+            count += 1
+        assert count == len(ref_map), (count, len(ref_map))

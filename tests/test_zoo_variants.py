@@ -148,6 +148,55 @@ class TestDSVTAndPillarNet:
                                 method=lambda m, b: m.predict(b))
         assert np.isfinite(np.asarray(boxes)).all()
 
+    def test_dsvt_voxel_centerpoint(self):
+        """Multi-stage 3D DSVT (reference dsvt_voxel.yaml): two stages of
+        3D rotated-set windows with attention-pooled z-downsampling, via
+        the reference's native BACKBONE_3D schema + DynamicVoxelVFE."""
+        from dfu3d_tpu.core.voxel import VoxelGrid
+        from dfu3d_tpu.models import build_network
+
+        from test_model import CLASS_NAMES, make_batch, tiny_model_cfg
+
+        cfg = tiny_model_cfg()
+        cfg["VFE"] = {"NAME": "DynamicVoxelVFE", "WITH_DISTANCE": False,
+                      "USE_ABSLOTE_XYZ": True, "USE_NORM": True,
+                      "NUM_FILTERS": [16, 16]}
+        cfg["BACKBONE_3D"] = {
+            "NAME": "DSVT",
+            "INPUT_LAYER": {
+                "sparse_shape": [64, 64, 4],
+                "downsample_stride": [[1, 1, 4]],
+                "window_shape": [[8, 8, 4], [8, 8, 1]],
+                "hybrid_factor": [2, 2, 1],
+            },
+            "set_info": [[8, 1], [8, 1]],
+            "d_model": [16, 16],
+            "nhead": [2, 2],
+            "dim_feedforward": [32, 32],
+            "MAX_SETS": 128,
+        }
+        grid = VoxelGrid.create([0, -6.4, -3, 6.4, 6.4, 1], [0.2, 0.2, 1.0])
+        model = build_network(cfg, CLASS_NAMES, grid, max_voxels=512)
+        batch = make_batch(np.random.RandomState(6), b=2, n=256)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               train=False)
+        (loss, _), mut = model.apply(variables, batch, train=True,
+                                     mutable=["batch_stats"])
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+        def loss_fn(params):
+            (l, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"])
+            return l
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        boxes, *_ = model.apply(variables, batch,
+                                method=lambda m, b: m.predict(b))
+        assert np.isfinite(np.asarray(boxes)).all()
+
     def test_pillarnet(self):
         from dfu3d_tpu.core.voxel import VoxelGrid
         from dfu3d_tpu.models import build_network
