@@ -106,7 +106,14 @@ class CellMap(NamedTuple):
     slice_sizes=(3,) window gather into 3 element-gather fusions
     (~13.5 ms/step each at 1.08M rows); gathers cost ~constant time per ROW,
     so packing taps into wider elements is the only way to cut the row
-    count. Only built while slot+1 fits 16 bits (map_dtype uint16)."""
+    count. Only built while slot+1 fits 16 bits (map_dtype uint16).
+
+    Batched maps are FLAT (B·(num_cells+3),) with element b's region starting
+    at base = b·(num_cells+3); lookups take a `base` scalar. Round-4 measured
+    motivation: a (B, stride) reshape of the flat scatter output forces a
+    T(1024)→T(2,128) relayout that XLA lowers as a per-element while loop of
+    dynamic-update-slices — ~51 ms/step at the 90M-cell stage-1 KITTI grid
+    (profile: tools/dev/profile_second.py). Flat maps never relayout."""
 
     slots: jnp.ndarray
     pair: jnp.ndarray | None
@@ -125,16 +132,20 @@ def _pack_pair(flat_slots):
 
 def build_cell_map_batched(grid: SparseGrid, coords, valid,
                            with_pair: bool = True) -> CellMap:
-    """(B, num_cells+3) dense maps via ONE flat scatter (+ pair companion).
+    """FLAT (B·(num_cells+3),) dense maps via ONE scatter (+ pair companion).
 
     `jax.vmap(build_cell_map)` lowers the batched scatter to a sequential
     while-loop of 4·num_cells-byte dynamic-update-slices (measured round 2:
     ~27 ms/step on the 90M-cell stride-1 KITTI grid at B=2). Scattering into
     a flat (B·(num_cells+3),) buffer with batch-offset ids is a single
-    parallel scatter.
+    parallel scatter. The result STAYS flat: reshaping to (B, stride) forces
+    a tiled-layout relayout lowered as a per-element while loop (~51 ms/step
+    measured round 4 at the stage-1 KITTI grid) — lookups instead take a
+    per-element `base` offset.
     """
     b, v = coords.shape[0], coords.shape[1]
     stride = grid.num_cells + 3
+    assert b * stride < 2 ** 31 - 1, "flat map exceeds int32 indexing"
     lin = jax.vmap(lambda c, vv: linearize(grid, c, vv))(coords, valid)
     ids = jnp.where(lin < grid.num_cells, lin + 1, b * stride)
     ids = jnp.where(
@@ -152,8 +163,13 @@ def build_cell_map_batched(grid: SparseGrid, coords, valid,
                                         unique_indices=True)
     pair = None
     if with_pair and dt == jnp.uint16:
-        pair = _pack_pair(flat).reshape(b, stride)
-    return CellMap(flat.reshape(b, stride), pair)
+        pair = _pack_pair(flat)
+    return CellMap(flat, pair)
+
+
+def map_bases(grid: SparseGrid, b: int):
+    """(B,) int32 start offsets of each element's region in a flat map."""
+    return jnp.arange(b, dtype=jnp.int32) * (grid.num_cells + 3)
 
 
 def _map_parts(cell_map):
@@ -164,9 +180,10 @@ def _map_parts(cell_map):
 
 
 def find_neighbors_via_map(grid: SparseGrid, query_coords, query_valid,
-                           cell_map, v: int, offsets):
+                           cell_map, v: int, offsets, base=0):
     """Dense-map twin of `find_neighbors`: (Q, K) indices, sentinel = v.
-    `cell_map` uses the padded layout of `build_cell_map` (cell c at p=c+1)."""
+    `cell_map` uses the padded layout of `build_cell_map` (cell c at p=c+1);
+    for flat batched maps pass the element's start offset as `base`."""
     cell_map, _ = _map_parts(cell_map)
     off = jnp.asarray(offsets, jnp.int32)
     q = query_coords[:, None, :] + off[None, :, :]
@@ -178,7 +195,8 @@ def find_neighbors_via_map(grid: SparseGrid, query_coords, query_valid,
         & (qz >= 0) & (qz < grid.nz)
     )
     qlin = jnp.where(ok, (qz * grid.ny + qy) * grid.nx + qx, grid.num_cells + 1)
-    val = jnp.take(cell_map, qlin.reshape(-1) + 1, axis=0).reshape(qlin.shape)
+    val = jnp.take(cell_map, base + qlin.reshape(-1) + 1,
+                   axis=0).reshape(qlin.shape)
     idx = val.astype(jnp.int32) - 1  # slot+1 encoding, 0 = empty
     return jnp.where(ok & (val > 0), idx, v).astype(jnp.int32)
 
@@ -201,7 +219,7 @@ def _is_x_packable(offsets) -> bool:
 
 
 def find_neighbors_via_map_packed(grid: SparseGrid, query_coords, query_valid,
-                                  cell_map, v: int, offsets):
+                                  cell_map, v: int, offsets, base=0):
     """x-packed neighbor lookup: fetch each (oy, oz) group's three x-taps as
     ONE contiguous 3-cell window of the dense map (`lax.gather` with
     slice_sizes=(3,)) — 9 window rows per query instead of 27 element rows.
@@ -231,8 +249,8 @@ def find_neighbors_via_map_packed(grid: SparseGrid, query_coords, query_valid,
         & (qy >= 0) & (qy < grid.ny)
         & (qz >= 0) & (qz < grid.nz)
     )
-    lin0 = jnp.where(ctr_ok, (qz * grid.ny + qy) * grid.nx + qx,
-                     grid.num_cells + 1)
+    lin0 = base + jnp.where(ctr_ok, (qz * grid.ny + qy) * grid.nx + qx,
+                            grid.num_cells + 1)
     if pair is not None:
         # 2 gathers instead of 3: taps (−1, 0) from the u32 pair map, tap
         # (+1) from the u16 map (slice_sizes windows decompose into one
@@ -295,7 +313,8 @@ def find_neighbors(grid: SparseGrid, query_coords, query_valid, sorted_lin,
 
 
 def transpose_down_neighbors(down_grid: SparseGrid, in_coords, in_valid,
-                             out_cmap, q_cap: int, offsets, z_only=False):
+                             out_cmap, q_cap: int, offsets, z_only=False,
+                             base=0):
     """Transpose neighbor table of a stride-2 sparse conv.
 
     tnbr[p, k] = the output slot q whose kernel tap k reads input p, i.e.
@@ -323,13 +342,15 @@ def transpose_down_neighbors(down_grid: SparseGrid, in_coords, in_valid,
     qlin = jnp.where(ok, (qz * down_grid.ny + qy) * down_grid.nx + qx,
                      down_grid.num_cells)
     # padded map layout (build_cell_map): cell c lives at index c + 1
-    val = jnp.take(out_cmap, qlin.reshape(-1) + 1, axis=0).reshape(qlin.shape)
+    val = jnp.take(out_cmap, base + qlin.reshape(-1) + 1,
+                   axis=0).reshape(qlin.shape)
     idx = val.astype(jnp.int32) - 1  # slot+1 encoding, 0 = empty
     return jnp.where(ok & (val > 0), idx, q_cap).astype(jnp.int32)
 
 
 def transpose_down_neighbors_packed(down_grid: SparseGrid, in_coords,
-                                    in_valid, out_cmap, q_cap: int, offsets):
+                                    in_valid, out_cmap, q_cap: int, offsets,
+                                    base=0):
     """Packed twin of `transpose_down_neighbors` for full-3D stride-2 convs.
 
     Every tap's implied output cell qc = (p − o)/2 with o ∈ {−1,0,1}³ lies in
@@ -359,7 +380,7 @@ def transpose_down_neighbors_packed(down_grid: SparseGrid, in_coords,
     c0 = (qz_r * down_grid.ny + qy_r) * down_grid.nx + qx0[:, None]
     # map index of a 2-slice covering cells (c0, c0+1) is c0+1 (padded
     # layout); invalid rows start at the trailing −1 pads. c0 ≥ −1 always.
-    start = jnp.where(row_ok, c0 + 1, down_grid.num_cells + 1)
+    start = base + jnp.where(row_ok, c0 + 1, down_grid.num_cells + 1)
     if pair is not None:
         # both taps of each 2-wide window from ONE u32 pair-map gather
         p = jnp.take(pair, start.reshape(-1), axis=0).reshape(v, 4)

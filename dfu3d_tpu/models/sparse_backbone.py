@@ -43,6 +43,7 @@ from ..core.voxel.sparse_ops import (
     find_neighbors_via_map,
     find_neighbors_via_map_packed,
     kernel_offsets,
+    map_bases,
     transpose_down_neighbors,
     transpose_down_neighbors_packed,
 )
@@ -118,12 +119,16 @@ def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
             cmap = _batched_cell_map(grid, coords, valid)
         # x-packed window lookup (3 consecutive cells per fetch) when the
         # offset layout allows — random gathers cost ~constant time per ROW,
-        # so 9 window rows beat 27 element rows ~3× on the big stage-1 maps
+        # so 9 window rows beat 27 element rows ~3× on the big stage-1 maps.
+        # Maps are FLAT (B·stride,) — vmap broadcasts the map and maps the
+        # per-element base offset (no (B, stride) relayout, sparse_ops
+        # CellMap docstring)
         fn = (find_neighbors_via_map_packed if _is_x_packable(offsets)
               else find_neighbors_via_map)
+        bases = map_bases(grid, query_coords.shape[0])
         return jax.lax.optimization_barrier(jax.vmap(
-            lambda qc, qv, m: fn(grid, qc, qv, m, nvox, offsets)
-        )(query_coords, query_valid, cmap))
+            lambda qc, qv, base: fn(grid, qc, qv, cmap, nvox, offsets, base)
+        )(query_coords, query_valid, bases))
 
     def one(qc, qv, c, v):
         sorted_lin, order = build_lookup(grid, c, v)
@@ -335,7 +340,12 @@ class SubMConv3d(nn.Module):
 
 
 class SparseConv3dDown(nn.Module):
-    """Strided (2×) sparse conv; output set = parent cells of active inputs."""
+    """Strided (2×) sparse conv; output set = parent cells of active inputs.
+
+    `return_out_cmap=True` additionally returns the output coordinate set's
+    dense cell map so the caller's next stage reuses it instead of rebuilding
+    the same map (the spconv indice_key handoff across strides — one map
+    build per coordinate set per step)."""
 
     out_channels: int
     out_cap: int
@@ -344,7 +354,8 @@ class SparseConv3dDown(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, st: SparseTensor, in_cmap=None, train: bool = True):
+    def __call__(self, st: SparseTensor, in_cmap=None, train: bool = True,
+                 return_out_cmap: bool = False):
         down = st.grid.down_z() if self.z_only else st.grid.down()
 
         def one(c, v):
@@ -374,31 +385,38 @@ class SparseConv3dDown(nn.Module):
         )
         feats = st.features.astype(self.dtype)
         wk = w.astype(self.dtype)
-        if train and down.num_cells <= DENSE_MAP_MAX_CELLS:
-            # gather-only backward: build the output cell map + transpose
-            # table (cheap scatters / element takes) so dX is a gather too
+        out_cmap = None
+        if down.num_cells <= DENSE_MAP_MAX_CELLS and (train or return_out_cmap):
             out_cmap = _batched_cell_map(down, out_coords, out_valid)
-            # packed 2×2×2-window transpose table for full-3D 3³ strides;
+        if train and out_cmap is not None:
+            # gather-only backward: the output cell map + transpose table
+            # (cheap scatters / element takes) make dX a gather too.
+            # Packed 2×2×2-window transpose table for full-3D 3³ strides;
             # the z_only conv_out (K=3, small map) and wider kernels
             # (SPCONV_KERNEL_SIZES 5 in voxelnext_ioubranch_large) keep the
             # element path
+            bases = map_bases(down, st.coords.shape[0])
             if self.z_only:
-                t_fn = lambda ic, iv, m: transpose_down_neighbors(  # noqa: E731
-                    down, ic, iv, m, self.out_cap, offsets, z_only=True)
+                t_fn = lambda ic, iv, base: transpose_down_neighbors(  # noqa: E731
+                    down, ic, iv, out_cmap, self.out_cap, offsets,
+                    z_only=True, base=base)
             elif tuple(ks) == (3, 3, 3):
-                t_fn = lambda ic, iv, m: transpose_down_neighbors_packed(  # noqa: E731
-                    down, ic, iv, m, self.out_cap, offsets)
+                t_fn = lambda ic, iv, base: transpose_down_neighbors_packed(  # noqa: E731
+                    down, ic, iv, out_cmap, self.out_cap, offsets, base=base)
             else:
-                t_fn = lambda ic, iv, m: transpose_down_neighbors(  # noqa: E731
-                    down, ic, iv, m, self.out_cap, offsets)
+                t_fn = lambda ic, iv, base: transpose_down_neighbors(  # noqa: E731
+                    down, ic, iv, out_cmap, self.out_cap, offsets, base=base)
             tnbr = jax.lax.optimization_barrier(
-                jax.vmap(t_fn)(st.coords, st.valid, out_cmap)
+                jax.vmap(t_fn)(st.coords, st.valid, bases)
             )
             out = down_gather_gemm(feats, st.valid, nbr, tnbr, wk)
         else:
             out = _gather_gemm(feats, st.valid, nbr, wk)
         out = jnp.where(out_valid[..., None], out, 0.0)
-        return SparseTensor(out, out_coords, out_valid, down)
+        st_out = SparseTensor(out, out_coords, out_valid, down)
+        if return_out_cmap:
+            return st_out, out_cmap
+        return st_out
 
 
 class SparseConvBlock(nn.Module):
@@ -428,10 +446,13 @@ class VoxelBackBone8x(nn.Module):
         st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
         offsets = kernel_offsets(3, 3, 3)
 
-        def stage_tables(st):
+        def stage_tables(st, cmap=None):
             # one cell map + one neighbor table per coordinate set, shared by
-            # every conv at that resolution (spconv indice_key reuse)
-            cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+            # every conv at that resolution (spconv indice_key reuse); a
+            # strided conv's out_cmap is handed in so the map is built ONCE
+            # per coordinate set per step
+            if cmap is None:
+                cmap = _batched_cell_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
                 cmap=cmap,
@@ -439,33 +460,33 @@ class VoxelBackBone8x(nn.Module):
             return cmap, nbr
 
         def down_bn_relu(st, ch, cap, cmap, z_only=False, name=None):
-            st = SparseConv3dDown(
+            st, out_cmap = SparseConv3dDown(
                 ch, out_cap=cap, z_only=z_only, dtype=self.dtype, name=name
-            )(st, in_cmap=cmap, train=train)
+            )(st, in_cmap=cmap, train=train, return_out_cmap=True)
             x = nn.relu(
                 SparseBatchNorm(dtype=self.dtype, name=f"{name}_bn")(
                     st.features, st.valid, train
                 )
             )
             x = jnp.where(st.valid[..., None], x, 0.0)
-            return SparseTensor(x, st.coords, st.valid, st.grid)
+            return SparseTensor(x, st.coords, st.valid, st.grid), out_cmap
 
         cmap, nbr = stage_tables(st)
         st = SparseConvBlock(self.channels[0], dtype=self.dtype, name="conv_input")(st, train, nbr)
         st = SparseConvBlock(self.channels[1], dtype=self.dtype, name="conv1")(st, train, nbr)
-        st = down_bn_relu(st, self.channels[2], max(self.voxel_cap // 2, 16), cmap, name="down2")
-        cmap, nbr = stage_tables(st)
+        st, cmap = down_bn_relu(st, self.channels[2], max(self.voxel_cap // 2, 16), cmap, name="down2")
+        cmap, nbr = stage_tables(st, cmap)
         st = SparseConvBlock(self.channels[2], dtype=self.dtype, name="conv2a")(st, train, nbr)
         st = SparseConvBlock(self.channels[2], dtype=self.dtype, name="conv2b")(st, train, nbr)
-        st = down_bn_relu(st, self.channels[3], max(self.voxel_cap // 4, 16), cmap, name="down3")
-        cmap, nbr = stage_tables(st)
+        st, cmap = down_bn_relu(st, self.channels[3], max(self.voxel_cap // 4, 16), cmap, name="down3")
+        cmap, nbr = stage_tables(st, cmap)
         st = SparseConvBlock(self.channels[3], dtype=self.dtype, name="conv3a")(st, train, nbr)
         st = SparseConvBlock(self.channels[3], dtype=self.dtype, name="conv3b")(st, train, nbr)
-        st = down_bn_relu(st, self.channels[4], max(self.voxel_cap // 8, 16), cmap, name="down4")
-        cmap, nbr = stage_tables(st)
+        st, cmap = down_bn_relu(st, self.channels[4], max(self.voxel_cap // 8, 16), cmap, name="down4")
+        cmap, nbr = stage_tables(st, cmap)
         st = SparseConvBlock(self.channels[4], dtype=self.dtype, name="conv4a")(st, train, nbr)
         st = SparseConvBlock(self.channels[4], dtype=self.dtype, name="conv4b")(st, train, nbr)
-        st = down_bn_relu(
+        st, _ = down_bn_relu(
             st, self.out_channels, max(self.voxel_cap // 8, 16), cmap,
             z_only=True, name="conv_out",
         )
@@ -508,8 +529,9 @@ class SparseEncoder(nn.Module):
         offsets = kernel_offsets(3, 3, 3)
         st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
 
-        def stage_tables(st):
-            cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+        def stage_tables(st, cmap=None):
+            if cmap is None:
+                cmap = _batched_cell_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
                 cmap=cmap,
@@ -521,8 +543,10 @@ class SparseEncoder(nn.Module):
         s1 = SparseConvBlock(self.channels[1], dtype=self.dtype, name="conv1")(st, train, nbr)
 
         def down(st, in_cmap, ch, cap, name):
-            st = SparseConv3dDown(ch, out_cap=cap, dtype=self.dtype, name=name)(st, in_cmap=in_cmap, train=train)
-            cmap, nbr = stage_tables(st)
+            st, out_cmap = SparseConv3dDown(
+                ch, out_cap=cap, dtype=self.dtype, name=name
+            )(st, in_cmap=in_cmap, train=train, return_out_cmap=True)
+            cmap, nbr = stage_tables(st, out_cmap)
             st = SparseConvBlock(ch, dtype=self.dtype, name=f"{name}_refine")(st, train, nbr)
             return st, cmap
 
@@ -563,8 +587,9 @@ class VoxelResBackBone8xVoxelNeXt(nn.Module):
         st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
         offsets3 = kernel_offsets(3, 3, 3)
 
-        def stage_tables(st):
-            cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+        def stage_tables(st, cmap=None):
+            if cmap is None:
+                cmap = _batched_cell_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets3,
                 cmap=cmap,
@@ -572,14 +597,15 @@ class VoxelResBackBone8xVoxelNeXt(nn.Module):
             return cmap, nbr
 
         def down_bn_relu(st, ch, cap, cmap, k, name):
-            st = SparseConv3dDown(
+            st, out_cmap = SparseConv3dDown(
                 ch, out_cap=cap, kernel_size=(k, k, k), dtype=self.dtype,
                 name=name,
-            )(st, in_cmap=cmap if k == 3 else None, train=train)
+            )(st, in_cmap=cmap if k == 3 else None, train=train,
+              return_out_cmap=True)
             x = nn.relu(SparseBatchNorm(dtype=self.dtype, name=f"{name}_bn")(
                 st.features, st.valid, train))
             x = jnp.where(st.valid[..., None], x, 0.0)
-            return SparseTensor(x, st.coords, st.valid, st.grid)
+            return SparseTensor(x, st.coords, st.valid, st.grid), out_cmap
 
         ch = tuple(self.channels)
         ks = tuple(self.kernel_sizes)
@@ -595,9 +621,10 @@ class VoxelResBackBone8xVoxelNeXt(nn.Module):
                 max(cap // 16, 16), max(cap // 32, 16))
         for i in range(5):  # conv2..conv6 at strides 2/4/8/16/32
             c = ch[min(i + 1, len(ch) - 1)]
-            st = down_bn_relu(st, c, caps[i], cmap, ks[min(i, len(ks) - 1)],
-                              name=f"down{i + 2}")
-            cmap, nbr = stage_tables(st)
+            st, cmap = down_bn_relu(st, c, caps[i], cmap,
+                                    ks[min(i, len(ks) - 1)],
+                                    name=f"down{i + 2}")
+            cmap, nbr = stage_tables(st, cmap)
             st = SparseResBlock(c, dtype=self.dtype, name=f"res{i + 2}a")(
                 st, train, nbr)
             st = SparseResBlock(c, dtype=self.dtype, name=f"res{i + 2}b")(
@@ -649,8 +676,9 @@ class VoxelResBackBone8x(nn.Module):
         st = SparseTensor(features.astype(self.dtype), coords, valid, self.grid)
         offsets = kernel_offsets(3, 3, 3)
 
-        def stage_tables(st):
-            cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+        def stage_tables(st, cmap=None):
+            if cmap is None:
+                cmap = _batched_cell_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
                 cmap=cmap,
@@ -658,13 +686,13 @@ class VoxelResBackBone8x(nn.Module):
             return cmap, nbr
 
         def down_bn_relu(st, ch, cap, cmap, z_only=False, name=None):
-            st = SparseConv3dDown(
+            st, out_cmap = SparseConv3dDown(
                 ch, out_cap=cap, z_only=z_only, dtype=self.dtype, name=name
-            )(st, in_cmap=cmap, train=train)
+            )(st, in_cmap=cmap, train=train, return_out_cmap=True)
             x = nn.relu(SparseBatchNorm(dtype=self.dtype, name=f"{name}_bn")(
                 st.features, st.valid, train))
             x = jnp.where(st.valid[..., None], x, 0.0)
-            return SparseTensor(x, st.coords, st.valid, st.grid)
+            return SparseTensor(x, st.coords, st.valid, st.grid), out_cmap
 
         cap = self.voxel_cap
         cmap, nbr = stage_tables(st)
@@ -672,19 +700,19 @@ class VoxelResBackBone8x(nn.Module):
                              name="conv_input")(st, train, nbr)
         st = SparseResBlock(self.channels[0], dtype=self.dtype, name="res1a")(st, train, nbr)
         st = SparseResBlock(self.channels[0], dtype=self.dtype, name="res1b")(st, train, nbr)
-        st = down_bn_relu(st, self.channels[1], max(cap // 2, 16), cmap, name="down2")
-        cmap, nbr = stage_tables(st)
+        st, cmap = down_bn_relu(st, self.channels[1], max(cap // 2, 16), cmap, name="down2")
+        cmap, nbr = stage_tables(st, cmap)
         st = SparseResBlock(self.channels[1], dtype=self.dtype, name="res2a")(st, train, nbr)
         st = SparseResBlock(self.channels[1], dtype=self.dtype, name="res2b")(st, train, nbr)
-        st = down_bn_relu(st, self.channels[2], max(cap // 4, 16), cmap, name="down3")
-        cmap, nbr = stage_tables(st)
+        st, cmap = down_bn_relu(st, self.channels[2], max(cap // 4, 16), cmap, name="down3")
+        cmap, nbr = stage_tables(st, cmap)
         st = SparseResBlock(self.channels[2], dtype=self.dtype, name="res3a")(st, train, nbr)
         st = SparseResBlock(self.channels[2], dtype=self.dtype, name="res3b")(st, train, nbr)
-        st = down_bn_relu(st, self.channels[3], max(cap // 8, 16), cmap, name="down4")
-        cmap, nbr = stage_tables(st)
+        st, cmap = down_bn_relu(st, self.channels[3], max(cap // 8, 16), cmap, name="down4")
+        cmap, nbr = stage_tables(st, cmap)
         st = SparseResBlock(self.channels[3], dtype=self.dtype, name="res4a")(st, train, nbr)
         st = SparseResBlock(self.channels[3], dtype=self.dtype, name="res4b")(st, train, nbr)
-        st = down_bn_relu(
+        st, _ = down_bn_relu(
             st, self.out_channels, max(cap // 8, 16), cmap,
             z_only=True, name="conv_out",
         )

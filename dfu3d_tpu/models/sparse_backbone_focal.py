@@ -41,6 +41,7 @@ import numpy as np
 
 from ..core.geometry.boxes import points_in_boxes
 from ..core.voxel.sparse_ops import SparseGrid, kernel_offsets
+from ..core.voxel.sparse_ops import map_bases
 from .sparse_backbone import (
     SparseBatchNorm,
     SparseConv3dDown,
@@ -166,10 +167,11 @@ class FocalSparseConv(nn.Module):
             "FocalSparseConv requires a dense-cell-map-sized grid "
             f"(num_cells={g.num_cells})"
         )
-        # padded map layout (build_cell_map): cell c at index c + 1, value
-        # slot+1 with 0 = empty
-        occupied = jnp.take_along_axis(
-            cmap.slots, lin.reshape(b, -1) + 1, axis=1
+        # padded FLAT map layout (build_cell_map_batched): element b's cell c
+        # at index b·stride + c + 1, value slot+1 with 0 = empty
+        bases = map_bases(g, b)[:, None]
+        occupied = jnp.take(
+            cmap.slots, (bases + lin.reshape(b, -1) + 1).reshape(-1), axis=0
         ).reshape(lin.shape) > 0
         cand_ok = cand_ok & ~occupied
 

@@ -12,6 +12,7 @@ import pytest
 from dfu3d_tpu.core.voxel.sparse_ops import (
     SparseGrid,
     kernel_offsets,
+    map_bases,
     transpose_down_neighbors,
 )
 from dfu3d_tpu.models.sparse_backbone import (
@@ -111,9 +112,10 @@ class TestDownVJP:
         nbr = _batched_neighbors(grid, centers, out_valid, coords, valid, offsets)
         out_cmap = _batched_cell_map(down, out_coords, out_valid)
         tnbr = jax.vmap(
-            lambda ic, iv, m: transpose_down_neighbors(
-                down, ic, iv, m, q_cap, offsets, z_only=z_only)
-        )(coords, valid, out_cmap)
+            lambda ic, iv, base: transpose_down_neighbors(
+                down, ic, iv, out_cmap, q_cap, offsets, z_only=z_only,
+                base=base)
+        )(coords, valid, map_bases(down, b))
 
         feats = jnp.asarray(rng.randn(b, v, cin).astype(np.float32))
         w = jnp.asarray(rng.randn(len(offsets), cin, cout).astype(np.float32) * 0.1)
@@ -148,7 +150,9 @@ class TestPackedTables:
         coords, valid = _random_sparse(rng, 3, 64, grid, 50)
         want = jax.vmap(lambda c, v: build_cell_map(grid, c, v))(coords, valid)
         got = build_cell_map_batched(grid, coords, valid)
-        np.testing.assert_array_equal(np.asarray(got.slots), np.asarray(want))
+        # batched maps are FLAT (B·stride,) — no (B, stride) relayout
+        np.testing.assert_array_equal(
+            np.asarray(got.slots).reshape(want.shape), np.asarray(want))
         # pair companion: pair[i] = slots[i] | slots[i+1] << 16 over the
         # flat layout (cross-element +1 reads the next leading zero pad)
         flat = np.asarray(got.slots).reshape(-1).astype(np.uint32)
@@ -171,14 +175,15 @@ class TestPackedTables:
         )(coords, valid)
         out_cmap = _batched_cell_map(down, out_coords, out_valid)
         offsets = kernel_offsets(3, 3, 3)
+        bases = map_bases(down, b)
         want = jax.vmap(
-            lambda ic, iv, m: transpose_down_neighbors(
-                down, ic, iv, m, q_cap, offsets)
-        )(coords, valid, out_cmap)
+            lambda ic, iv, base: transpose_down_neighbors(
+                down, ic, iv, out_cmap, q_cap, offsets, base=base)
+        )(coords, valid, bases)
         got = jax.vmap(
-            lambda ic, iv, m: transpose_down_neighbors_packed(
-                down, ic, iv, m, q_cap, offsets)
-        )(coords, valid, out_cmap)
+            lambda ic, iv, base: transpose_down_neighbors_packed(
+                down, ic, iv, out_cmap, q_cap, offsets, base=base)
+        )(coords, valid, bases)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     def test_transpose_packed_origin_voxels(self):
@@ -199,14 +204,15 @@ class TestPackedTables:
         )(coords, valid)
         out_cmap = _batched_cell_map(down, out_coords, out_valid)
         offsets = kernel_offsets(3, 3, 3)
+        bases = map_bases(down, 1)
         want = jax.vmap(
-            lambda ic, iv, m: transpose_down_neighbors(
-                down, ic, iv, m, q_cap, offsets)
-        )(coords, valid, out_cmap)
+            lambda ic, iv, base: transpose_down_neighbors(
+                down, ic, iv, out_cmap, q_cap, offsets, base=base)
+        )(coords, valid, bases)
         got = jax.vmap(
-            lambda ic, iv, m: transpose_down_neighbors_packed(
-                down, ic, iv, m, q_cap, offsets)
-        )(coords, valid, out_cmap)
+            lambda ic, iv, base: transpose_down_neighbors_packed(
+                down, ic, iv, out_cmap, q_cap, offsets, base=base)
+        )(coords, valid, bases)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
@@ -264,13 +270,15 @@ class TestPairPackedFetch:
         offsets = kernel_offsets(3, 3, 3)
         cmap = build_cell_map_batched(grid, coords, valid)
         assert cmap.pair is not None
+        bases = map_bases(grid, b)
         want = jax.vmap(
-            lambda c, vd, m: find_neighbors_via_map(grid, c, vd, m, v, offsets)
-        )(coords, valid, cmap.slots)
+            lambda c, vd, base: find_neighbors_via_map(
+                grid, c, vd, cmap.slots, v, offsets, base)
+        )(coords, valid, bases)
         got = jax.vmap(
-            lambda c, vd, m: find_neighbors_via_map_packed(grid, c, vd, m, v,
-                                                           offsets)
-        )(coords, valid, cmap)
+            lambda c, vd, base: find_neighbors_via_map_packed(
+                grid, c, vd, cmap, v, offsets, base)
+        )(coords, valid, bases)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     def test_pair_transpose_matches_element(self):
@@ -288,12 +296,13 @@ class TestPairPackedFetch:
         )(coords, valid)
         offsets = kernel_offsets(3, 3, 3)
         cmap = build_cell_map_batched(down, out_c, out_v)
+        bases = map_bases(down, b)
         want = jax.vmap(
-            lambda ic, iv, m: transpose_down_neighbors(
-                down, ic, iv, m, q_cap, offsets)
-        )(coords, valid, cmap.slots)
+            lambda ic, iv, base: transpose_down_neighbors(
+                down, ic, iv, cmap.slots, q_cap, offsets, base=base)
+        )(coords, valid, bases)
         got = jax.vmap(
-            lambda ic, iv, m: transpose_down_neighbors_packed(
-                down, ic, iv, m, q_cap, offsets)
-        )(coords, valid, cmap)
+            lambda ic, iv, base: transpose_down_neighbors_packed(
+                down, ic, iv, cmap, q_cap, offsets, base=base)
+        )(coords, valid, bases)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
