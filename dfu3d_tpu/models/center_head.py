@@ -369,24 +369,24 @@ class CenterHead(nn.Module):
     # Decode (eval) — fixed-size masked outputs
     # ------------------------------------------------------------------
 
-    def generate_predicted_boxes(self, pred_dicts, post_cfg):
-        """Per-head top-K decode + class-agnostic NMS, concat across heads.
+    def decode_topk(self, pred_dicts, post_cfg):
+        """Pre-NMS decode: per-head top-K peaks → lidar boxes.
 
-        Returns (boxes (B, S, 7), scores (B, S), labels (B, S) 1-based,
-        valid (B, S)) with S = num_heads * NMS_POST_MAXSIZE.
+        Mirrors the reference's centernet_utils.decode_bbox_from_heatmap
+        (centernet_utils.py:173-235: flat top-K over classes×cells, offset
+        add, exp dims, atan2 heading, post-center-range + score gates).
+        Returns a list over heads of (boxes (B, K, 7|9), scores (B, K),
+        cls (B, K) local ids, valid (B, K)).
         """
         k = int(post_cfg.MAX_OBJ_PER_SAMPLE)
-        nms_cfg = post_cfg.NMS_CONFIG
-        pre_max = min(int(nms_cfg.NMS_PRE_MAXSIZE), k)
-        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
         score_thresh = float(post_cfg.get("SCORE_THRESH", 0.0))
         post_range = jnp.asarray(post_cfg.POST_CENTER_LIMIT_RANGE, jnp.float32)
         pcr = jnp.asarray(self.point_cloud_range, jnp.float32)
         vs = jnp.asarray(self.voxel_size, jnp.float32)
         stride = float(self.feature_map_stride)
 
-        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
-        for idx, pred in enumerate(pred_dicts):
+        out = []
+        for pred in pred_dicts:
             hm = jax.nn.sigmoid(pred["hm"].astype(jnp.float32))  # (B, H, W, C)
             bsz, H, W, C = hm.shape
             # (B, H, W, C) → (B, C, H*W) → flat top-K over classes*cells
@@ -422,7 +422,24 @@ class CenterHead(nn.Module):
                 & jnp.all(boxes[..., :3] <= post_range[3:], axis=-1)
                 & (scores > score_thresh)
             )
+            out.append((boxes, scores, cls, valid))
+        return out
 
+    def generate_predicted_boxes(self, pred_dicts, post_cfg):
+        """Per-head top-K decode + class-agnostic NMS, concat across heads.
+
+        Returns (boxes (B, S, 7), scores (B, S), labels (B, S) 1-based,
+        valid (B, S)) with S = num_heads * NMS_POST_MAXSIZE.
+        """
+        k = int(post_cfg.MAX_OBJ_PER_SAMPLE)
+        nms_cfg = post_cfg.NMS_CONFIG
+        pre_max = min(int(nms_cfg.NMS_PRE_MAXSIZE), k)
+        post_max = int(nms_cfg.NMS_POST_MAXSIZE)
+
+        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+        for idx, (boxes, scores, cls, valid) in enumerate(
+                self.decode_topk(pred_dicts, post_cfg)):
+            k_eff = scores.shape[1]
             nms_thresh = float(nms_cfg.NMS_THRESH)
             pre_eff = min(pre_max, k_eff)
             nms_type = nms_cfg.get("NMS_TYPE", "nms_gpu")

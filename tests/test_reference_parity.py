@@ -1298,3 +1298,243 @@ class TestDSVTVoxelParity:
                                        err_msg=str(key))
             count += 1
         assert count == len(ref_map), (count, len(ref_map))
+
+
+def _oracle_rotated_nms(boxes_np, scores_np, thresh, pre_max, post_max):
+    """Shared CPU rotated-BEV NMS oracle (greedy, descending score) built on
+    data/np_geometry.pairwise_iou_bev — the evaluator geometry pinned by the
+    reference-executed KITTI golden. Substituted for the reference's CUDA
+    `iou3d_nms_utils.nms_gpu` AND for our in-graph nms_bev so the decode
+    comparison isolates everything EXCEPT the NMS kernel itself
+    (VERDICT r3 item 3)."""
+    from dfu3d_tpu.data.np_geometry import pairwise_iou_bev
+
+    order = np.argsort(-scores_np, kind="stable")[:pre_max]
+    if order.size == 0:
+        return np.zeros((0,), np.int64)
+    iou = pairwise_iou_bev(boxes_np[order, :7], boxes_np[order, :7])
+    keep = []
+    alive = np.ones(order.size, bool)
+    for i in range(order.size):
+        if not alive[i]:
+            continue
+        keep.append(order[i])
+        if len(keep) >= post_max:
+            break
+        alive &= ~(iou[i] > thresh)
+        alive[i] = False
+    return np.asarray(keep, np.int64)
+
+
+def _xy_cls_order(boxes, cls):
+    """Deterministic row ordering for set comparison: lexsort by (x, y, cls).
+    Distinct cells decode ≥ a cell apart in x or y (>> fp noise); identical
+    decoded boxes from two classes of one head tie-break on cls."""
+    return np.lexsort((np.asarray(cls), boxes[:, 1], boxes[:, 0]))
+
+
+def _match_rows_and_compare(got_b, got_s, got_c, want_b, want_s, want_c,
+                            min_frac=0.85, boundary_band=2e-4):
+    """Box-for-box comparison robust to top-K boundary churn.
+
+    Random-init heatmap scores are locally dense (boundary gaps ~5e-5, under
+    torch-vs-JAX fp noise), so the K-th pick can legitimately differ. Each
+    row is greedily matched to the other side by (label, box) proximity;
+    ≥ min_frac must match exactly (boxes rtol 1e-3, scores 1e-4), and every
+    UNMATCHED row must be boundary churn — its score within `boundary_band`
+    of the lowest selected score. A selection or decode bug fails one of the
+    three assertions."""
+    n = len(want_s)
+    assert len(got_s) == n
+    if n == 0:
+        return
+    used = np.zeros(n, bool)
+    unmatched = []
+    matched = 0
+    for i in range(n):
+        d = np.max(np.abs(want_b - got_b[i]), axis=1)
+        d = d + 1e9 * (want_c != got_c[i]) + 1e9 * used
+        j = int(np.argmin(d))
+        if d[j] < 5e-3:
+            used[j] = True
+            matched += 1
+            np.testing.assert_allclose(got_b[i], want_b[j],
+                                       rtol=1e-3, atol=2e-3)
+            np.testing.assert_allclose(got_s[i], want_s[j],
+                                       rtol=2e-4, atol=2e-5)
+        else:
+            unmatched.append(i)
+    assert matched >= min_frac * n, (matched, n)
+    smin = min(got_s.min(), want_s.min())
+    for i in unmatched:
+        assert got_s[i] <= smin + boundary_band, (got_s[i], smin)
+    for j in np.where(~used)[0]:
+        assert want_s[j] <= smin + boundary_band, (want_s[j], smin)
+
+
+class TestReferenceDecodeParity:
+    """FINAL-box parity for the flagship: the reference's own
+    CenterHead.generate_predicted_boxes (center_head.py:297-364) +
+    centernet_utils.decode_bbox_from_heatmap (:173-235) run on CPU on the
+    converted model, with one shared CPU rotated-NMS oracle replacing the
+    CUDA class_agnostic_nms on both sides. Closes the last unpinned stage
+    between 'logits equal' and 'AP equal' for the model the paper ships."""
+
+    POST = dict(
+        SCORE_THRESH=0.1,
+        POST_CENTER_LIMIT_RANGE=[0.0, -61.2, -10.0, 61.2, 61.2, 10.0],
+        MAX_OBJ_PER_SAMPLE=64,  # < C·H·W per head so the top-K boundary has
+        # a clear score gap (random logits spaced ~2e-3 vs fp noise ~1e-5)
+        NMS_CONFIG=dict(NMS_TYPE="nms_gpu", NMS_THRESH=0.6,
+                        NMS_PRE_MAXSIZE=1000, NMS_POST_MAXSIZE=16),
+    )
+
+    @pytest.fixture(scope="class")
+    def setup(self, ref_modules):
+        import sys as _sys
+
+        _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from __graft_entry__ import _synthetic_batch
+
+        ref = _build_reference_flagship(ref_modules)
+        # random-init hm logits cluster within ~1e-2, so top-K boundary gaps
+        # sit at fp-noise level; widening the final hm conv's weights spreads
+        # the scores (the CONVERTED weights are shared, so both sides see the
+        # same spread — this tests selection, not robustness to ties)
+        with torch.no_grad():
+            for h in ref.dense_head.heads_list:
+                convs = [m for m in h.hm.modules()
+                         if isinstance(m, torch.nn.Conv2d)]
+                convs[-1].weight.mul_(12.0)
+        model, _ = _ours_flagship()
+        # dense coverage of the whole tiny range (~2 points/pillar): sparse
+        # batches leave empty BEV patches whose identical all-zero receptive
+        # fields produce EXACT score ties, making the top-K boundary pick
+        # arbitrary cells on each side
+        batch = _synthetic_batch(2, 16384, 16, 12.8)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, train=False,
+            method=lambda m, b, train: m._features(b, train),
+        )
+        state = {k: v.numpy() for k, v in ref.state_dict().items()}
+        new_vars, report = tc.apply_mapping(
+            variables, state, tc.centerpoint_pillar_mapping()
+        )
+        assert not report["missing_in_torch"]
+        converted = {
+            "params": new_vars["params"],
+            "batch_stats": new_vars["batch_stats"],
+        }
+        bd = {"points": _torch_points(batch), "batch_size": 2}
+        with torch.no_grad():
+            bd = ref.vfe(bd)
+            bd = ref.map_to_bev(bd)
+            bd = ref.backbone_2d(bd)
+            x = ref.dense_head.shared_conv(bd["spatial_features_2d"])
+            ref_preds = [
+                {k: v for k, v in h(x).items()}
+                for h in ref.dense_head.heads_list
+            ]
+        ref.dense_head.model_cfg["POST_PROCESSING"] = EDict(self.POST)
+        return ref, model, batch, converted, ref_preds
+
+    def _ref_final(self, ref, ref_preds):
+        """Run the reference's own generate_predicted_boxes end-to-end with
+        the oracle patched over the CUDA nms_gpu."""
+        from pcdet.ops.iou3d_nms import iou3d_nms_utils
+
+        nms_cfg = self.POST["NMS_CONFIG"]
+
+        def fake_nms_gpu(boxes, scores, thresh, **kw):
+            keep = _oracle_rotated_nms(
+                boxes.numpy(), scores.numpy(), thresh,
+                pre_max=len(scores), post_max=nms_cfg["NMS_POST_MAXSIZE"])
+            return torch.as_tensor(keep), None
+
+        orig = getattr(iou3d_nms_utils, "nms_gpu", None)
+        iou3d_nms_utils.nms_gpu = fake_nms_gpu
+        try:
+            with no_cuda(), torch.no_grad():
+                ret = ref.dense_head.generate_predicted_boxes(2, ref_preds)
+        finally:
+            iou3d_nms_utils.nms_gpu = orig
+        return ret
+
+    def _ours_pre_nms(self, model, batch, converted):
+        from dfu3d_tpu.utils.config import CfgDict
+
+        post = CfgDict(self.POST)
+        per_head = model.apply(
+            converted, batch, train=False,
+            method=lambda m, b, train: m.dense_head.decode_topk(
+                m._features(b, train), post),
+        )
+        return [tuple(np.asarray(t) for t in head) for head in per_head]
+
+    def test_pre_nms_decode_matches_reference(self, setup):
+        """Top-K peak selection + box decode math equal box-for-box (the
+        reference's _topk two-stage selection == our flat top-K)."""
+        ref, model, batch, converted, ref_preds = setup
+        from pcdet.models.model_utils import centernet_utils
+
+        ours = self._ours_pre_nms(model, batch, converted)
+        post = self.POST
+        lim = torch.tensor(post["POST_CENTER_LIMIT_RANGE"]).float()
+        for hi, pred in enumerate(ref_preds):
+            with torch.no_grad():
+                ref_dicts = centernet_utils.decode_bbox_from_heatmap(
+                    heatmap=pred["hm"].sigmoid(),
+                    rot_cos=pred["rot"][:, 0].unsqueeze(1),
+                    rot_sin=pred["rot"][:, 1].unsqueeze(1),
+                    center=pred["center"], center_z=pred["center_z"],
+                    dim=pred["dim"].exp(),
+                    point_cloud_range=np.array(PCR), voxel_size=VOXEL,
+                    feature_map_stride=4, K=post["MAX_OBJ_PER_SAMPLE"],
+                    score_thresh=post["SCORE_THRESH"],
+                    post_center_limit_range=lim,
+                )
+            boxes, scores, cls, valid = ours[hi]
+            for b in range(2):
+                want_b = ref_dicts[b]["pred_boxes"].numpy()
+                want_s = ref_dicts[b]["pred_scores"].numpy()
+                want_c = ref_dicts[b]["pred_labels"].numpy()
+                got_b = boxes[b][valid[b]]
+                got_s = scores[b][valid[b]]
+                got_c = cls[b][valid[b]]
+                assert got_b.shape[0] == want_b.shape[0], (hi, b)
+                _match_rows_and_compare(got_b, got_s, got_c,
+                                        want_b, want_s, want_c)
+
+    def test_final_boxes_match_reference(self, setup):
+        """End-to-end eval decode: our final (boxes, scores, labels) equal
+        the reference's ret_dict box-for-box under the shared NMS oracle."""
+        ref, model, batch, converted, ref_preds = setup
+        ret = self._ref_final(ref, ref_preds)
+        ours = self._ours_pre_nms(model, batch, converted)
+        nms_cfg = self.POST["NMS_CONFIG"]
+        # 1-based global labels per head-local class id (what both decoders
+        # emit: ref center_head.py:328 + the trailing +1 at :361)
+        mapping = [np.asarray([CLASS_NAMES.index(n) + 1 for n in head])
+                   for head in CLASS_NAMES_EACH_HEAD]
+        for b in range(2):
+            got_boxes, got_scores, got_labels = [], [], []
+            for hi, (boxes, scores, cls, valid) in enumerate(ours):
+                bx, sc, cl = (boxes[b][valid[b]], scores[b][valid[b]],
+                              cls[b][valid[b]])
+                keep = _oracle_rotated_nms(
+                    bx, sc, nms_cfg["NMS_THRESH"],
+                    pre_max=nms_cfg["NMS_PRE_MAXSIZE"],
+                    post_max=nms_cfg["NMS_POST_MAXSIZE"])
+                got_boxes.append(bx[keep])
+                got_scores.append(sc[keep])
+                got_labels.append(mapping[hi][cl[keep]])
+            got_boxes = np.concatenate(got_boxes)
+            got_scores = np.concatenate(got_scores)
+            got_labels = np.concatenate(got_labels)
+            want_boxes = ret[b]["pred_boxes"].numpy()
+            want_scores = ret[b]["pred_scores"].numpy()
+            want_labels = ret[b]["pred_labels"].numpy()
+            assert got_boxes.shape == want_boxes.shape
+            _match_rows_and_compare(got_boxes, got_scores, got_labels,
+                                    want_boxes, want_scores, want_labels,
+                                    min_frac=0.8)

@@ -134,7 +134,9 @@ class TestVoxelNeXtIoUBranch:
         batch = make_batch(np.random.RandomState(4), b=2, n=512)
         variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                                train=False)
-        assert "iou_head" in variables["params"]
+        # the iou branch lives as a per-group head output conv since the
+        # reference-exact rebuild (voxelnext_head.py head_dict 'iou' entry)
+        assert "iou_out" in variables["params"]["head_0"]
         (loss, tb), _ = model.apply(variables, batch, train=True,
                                     mutable=["batch_stats"])
         assert np.isfinite(float(loss))
@@ -147,7 +149,8 @@ class TestVoxelNeXtIoUBranch:
             return l
 
         g = jax.grad(loss_fn)(variables["params"])
-        assert np.abs(np.asarray(g["iou_head"]["kernel"])).sum() > 0
+        iou_grads = jax.tree_util.tree_leaves(g["head_0"]["iou_out"])
+        assert sum(float(np.abs(np.asarray(x)).sum()) for x in iou_grads) > 0
         boxes, scores, labels, keep = model.apply(
             variables, batch, method=lambda m, b: m.predict(b))
         assert np.all(np.isfinite(np.asarray(boxes)))
