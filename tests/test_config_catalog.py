@@ -204,3 +204,29 @@ def test_nested_base_config_chain():
     assert cfg.DATA_CONFIG.POINT_CLOUD_RANGE == [0, -40, -3, 70, 40, 1]
     # while the model trunk comes from second.yaml
     assert cfg.MODEL.BACKBONE_3D.NAME == "VoxelBackBone8x"
+
+
+@pytest.mark.parametrize("rel", [
+    "cbgs_voxel0075_res3d_centerpoint.yaml",
+    "cbgs_voxel0075_voxelnext.yaml",
+    "cbgs_voxel0075_voxelnext_doubleflip.yaml",
+    "cbgs_pillar0075_res2d_centerpoint.yaml",
+    "transfusion_lidar.yaml",
+], ids=lambda r: r)
+def test_0075_configs_resolve_to_1440_grid(rel):
+    """The 0.075 m nuScenes configs must yield the reference's 1440x1440 BEV
+    grid (POINT_CLOUD_RANGE [-54, 54] / 0.075 — reference
+    cbgs_voxel0075_res3d_centerpoint.yaml). A regression to the default
+    [-51.2, 51.2] range gives a 1365-cell grid that breaks the 8x-stride
+    backbone; pin it (ADVICE r3)."""
+    cfg = load_cfg(CFG_ROOT / "nuscenes_models" / rel)
+    pcr = [float(v) for v in cfg.DATA_CONFIG.POINT_CLOUD_RANGE]
+    vs = None
+    for p in cfg.DATA_CONFIG.DATA_PROCESSOR:
+        if p["NAME"].startswith("transform_points_to_voxels"):
+            vs = [float(v) for v in p["VOXEL_SIZE"]]
+    assert vs is not None and vs[:2] == [0.075, 0.075], rel
+    grid = VoxelGrid.create(pcr, vs)
+    nz = int(round((pcr[5] - pcr[2]) / vs[2]))
+    assert tuple(grid.grid_size)[:2] == (1440, 1440), (rel, grid.grid_size)
+    assert int(grid.grid_size[2]) == nz, (rel, grid.grid_size)

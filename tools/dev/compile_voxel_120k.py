@@ -47,7 +47,13 @@ def main():
         cfg,
     )
     pcr = [float(v) for v in cfg.DATA_CONFIG.POINT_CLOUD_RANGE]
-    grid = VoxelGrid.create(pcr, [0.075, 0.075, 0.2])
+    # Derive the voxel size from the config's own processor entry (like
+    # tools/train.py) so this probe always measures the training grid.
+    voxel_size = [0.075, 0.075, 0.2]
+    for proc in cfg.DATA_CONFIG.get("DATA_PROCESSOR", []):
+        if str(proc.get("NAME", "")).startswith("transform_points_to_voxels"):
+            voxel_size = [float(v) for v in proc["VOXEL_SIZE"]]
+    grid = VoxelGrid.create(pcr, voxel_size)
     model = build_network(cfg.MODEL, cfg.CLASS_NAMES, grid,
                           dtype=jnp.bfloat16, max_voxels=args.voxels)
 
