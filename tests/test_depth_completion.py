@@ -127,3 +127,93 @@ class TestCSPN:
         # check the refined map stays close at sparse pixels)
         err = np.abs(np.asarray(refined)[m] - np.asarray(sd)[m])
         assert np.median(err) < np.median(np.abs(np.asarray(coarse)[m] - np.asarray(sd)[m])) + 1.0
+
+
+class TestDepthMetrics:
+    def test_metrics_match_reference_result(self):
+        """Pin evaluate_depth against the reference's own torch Result.evaluate
+        (reference tools/PENet/metrics.py:13-103) on random positive maps."""
+        import importlib.util
+
+        import pytest
+
+        torch = pytest.importorskip("torch")
+        spec = importlib.util.spec_from_file_location(
+            "ref_depth_metrics", "/root/reference/tools/PENet/metrics.py")
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        from dfu3d_tpu.eval.depth_metrics import evaluate_depth_np
+
+        rng = np.random.RandomState(3)
+        target = rng.uniform(0.0, 40.0, (64, 96)).astype(np.float32)
+        target[rng.rand(64, 96) < 0.5] = 0.0  # invalid pixels
+        pred = np.clip(
+            target + rng.normal(0, 1.5, target.shape), 0.05, None
+        ).astype(np.float32)
+
+        res = ref.Result()
+        res.evaluate(torch.from_numpy(pred), torch.from_numpy(target))
+        ours = evaluate_depth_np(pred, target)
+        for key in ("rmse", "mae", "irmse", "imae", "mse", "absrel",
+                    "squared_rel", "lg10", "delta1", "delta2", "delta3",
+                    "silog"):
+            assert np.isclose(ours[key], getattr(res, key),
+                              rtol=1e-4, atol=1e-4), (
+                key, ours[key], getattr(res, key))
+
+    def test_average_meter_and_csv(self, tmp_path):
+        from dfu3d_tpu.eval.depth_metrics import (
+            DEPTH_CSV_FIELDS, DepthAverageMeter, DepthCsvLogger,
+            evaluate_depth_np)
+
+        rng = np.random.RandomState(0)
+        meter = DepthAverageMeter()
+        singles = []
+        for _ in range(3):
+            t = rng.uniform(1, 30, (16, 16)).astype(np.float32)
+            p = t + rng.normal(0, 0.5, t.shape).astype(np.float32)
+            r = evaluate_depth_np(np.clip(p, 0.05, None), t)
+            singles.append(r)
+            meter.update(r)
+        avg = meter.average()
+        assert np.isclose(avg["rmse"], np.mean([s["rmse"] for s in singles]))
+
+        log = DepthCsvLogger(tmp_path)
+        assert log.append("val", 0, avg) is True  # first val epoch is best
+        worse = {k: v * 2 for k, v in avg.items()}
+        assert log.append("val", 1, worse) is False
+        import csv as _csv
+
+        with open(tmp_path / "val.csv") as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 2 and list(rows[0]) == DEPTH_CSV_FIELDS
+        assert (tmp_path / "best.txt").read_text().startswith("epoch=0")
+
+
+class TestTrainDepthDriver:
+    def test_synthetic_convergence(self, tmp_path):
+        """tools/train_depth.py (reference main.py train mode): a tiny ENet on
+        synthetic piecewise-planar frames must improve held-out RMSE over
+        epochs and write the reference-schema csv + best checkpoint."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from tools.train_depth import main as train_main
+
+        out = tmp_path / "run"
+        best = train_main([
+            "--synthetic", "6", "--epochs", "3", "--height", "32",
+            "--width", "64", "--widths", "8", "16", "--lr", "3e-3",
+            "--out", str(out), "--seed", "0",
+        ])
+        assert np.isfinite(best)
+        import csv as _csv
+
+        with open(out / "val.csv") as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 3
+        first, last_best = float(rows[0]["rmse"]), best
+        assert last_best < first  # learned something
+        assert (out / "best_ckpt").exists()

@@ -37,9 +37,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--detpath", type=str, required=True)
     parser.add_argument("--ckpt", type=str, default=None,
-                        help="trained ENet checkpoint (untrained weights give "
-                             "placeholder depth — train first or use an "
-                             "external metric-depth model)")
+                        help="trained ENet orbax checkpoint, e.g. "
+                             "tools/train_depth.py's <out>/best_ckpt "
+                             "(untrained weights give placeholder depth)")
     parser.add_argument("--model", type=str, default="enet",
                         choices=["enet", "enet_ref"],
                         help="enet: compact TPU-first net; enet_ref: the "
