@@ -21,13 +21,16 @@ main.py:227). One-time jit compile is excluded from the sustained loops and
 reported separately as compile_s.
 """
 import json
+import os
 import queue
 import threading
 import time
 
 import numpy as np
 
-N_FRAMES = 512
+# ≥500 sustained frames by default; overridable for time-boxed runs
+# (PSEUDO_BENCH artifacts record the actual count used)
+N_FRAMES = int(os.environ.get("PSEUDO_BENCH_FRAMES", "512"))
 
 
 def _producer(q, n, start_seed, n_instances=8):

@@ -21,6 +21,7 @@ from ..core.voxel import VoxelGrid, dynamic_voxelize
 from ..core.voxel.sparse_ops import SparseGrid
 from .backbone_2d import BaseBEVBackbone
 from .image import DepthLSSTransform, GeneralizedLSSFPN, SwinTransformer
+from .column_sparse import select_backbone8x
 from .sparse_backbone import VoxelBackBone8x, height_compression
 from .transfusion_head import TransFusionHead
 
@@ -44,7 +45,7 @@ class TransFusion(nn.Module):
         cfg = self.cfg
         nx, ny, nz = self.grid.grid_size
         bb3d = cfg.get("BACKBONE_3D", {})
-        self.backbone_3d = VoxelBackBone8x(
+        self.backbone_3d = select_backbone8x(bb3d)(
             grid=SparseGrid(nx, ny, nz),
             voxel_cap=self.max_voxels,
             channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),

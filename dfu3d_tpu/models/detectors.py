@@ -141,7 +141,8 @@ class CenterPoint(nn.Module):
             # voxel CenterPoint: MeanVFE + sparse 3D backbone (the reference's
             # alternative config, centerpoint_nuscenes2kitti.yaml:100-180)
             from ..core.voxel.sparse_ops import SparseGrid
-            from .sparse_backbone import VoxelBackBone8x, VoxelResBackBone8x
+            from .column_sparse import select_backbone8x
+            from .sparse_backbone import VoxelResBackBone8x
 
             assert vfe_cfg.NAME == "MeanVFE", vfe_cfg.NAME
             nx, ny, nz = self.grid.grid_size
@@ -155,7 +156,7 @@ class CenterPoint(nn.Module):
                     dtype=self.dtype,
                 )
             else:
-                self.backbone_3d = VoxelBackBone8x(
+                self.backbone_3d = select_backbone8x(bb3d)(
                     grid=SparseGrid(nx, ny, nz),
                     voxel_cap=self.max_voxels,
                     channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),

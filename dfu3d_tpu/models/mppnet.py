@@ -36,6 +36,7 @@ from . import roi_head as rh_template
 from .anchor_head import decode_anchor_predictions
 from .mppnet_head import MPPNetHead, generate_trajectory
 from .pointpillar import AnchorDetectorBase
+from .column_sparse import select_backbone8x
 from .sparse_backbone import VoxelBackBone8x, height_compression
 
 
@@ -58,7 +59,7 @@ class MPPNet(AnchorDetectorBase):
         cfg = self.cfg
         nx, ny, nz = self.grid.grid_size
         bb3d = cfg.get("BACKBONE_3D", {})
-        self.backbone_3d = VoxelBackBone8x(
+        self.backbone_3d = select_backbone8x(bb3d)(
             grid=SparseGrid(nx, ny, nz),
             voxel_cap=self.max_voxels,
             channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),

@@ -27,6 +27,7 @@ from .anchor_head import (
     generate_anchors,
 )
 from .backbone_2d import BaseBEVBackbone
+from .column_sparse import select_backbone8x
 from .sparse_backbone import VoxelBackBone8x, height_compression
 from .vfe import DynPillarVFE
 
@@ -254,7 +255,7 @@ class SECONDNet(AnchorDetectorBase):
         nx, ny, nz = self.grid.grid_size
         self.sparse_grid = SparseGrid(nx, ny, nz)
         bb3d = cfg.get("BACKBONE_3D", {})
-        self.backbone_3d = VoxelBackBone8x(
+        self.backbone_3d = select_backbone8x(bb3d)(
             grid=self.sparse_grid,
             voxel_cap=self.max_voxels,
             channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),

@@ -34,6 +34,7 @@ from ..core.geometry.nms import nms_bev
 from ..core.voxel import VoxelGrid, dynamic_voxelize
 from ..core.voxel.sparse_ops import SparseGrid, downsample_coords
 from . import losses
+from .column_sparse import select_backbone8x
 from .sparse_backbone import (
     SparseConvBlock,
     SparseConv3dDown,
@@ -151,7 +152,7 @@ class VoxelNeXt(nn.Module):
                 int(dh.get("SHARED_CONV_CHANNEL", out_ch)),
                 kernel_size=(3, 3, 1), dtype=self.dtype, name="shared_conv")
         else:  # legacy compact path
-            self.backbone_3d = VoxelBackBone8x(
+            self.backbone_3d = select_backbone8x(bb3d)(
                 grid=SparseGrid(nx, ny, nz),
                 voxel_cap=self.max_voxels,
                 channels=tuple(bb3d.get("CHANNELS", (16, 16, 32, 64, 64))),

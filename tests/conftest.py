@@ -21,6 +21,36 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Whole modules marked slow (VERDICT r3 weak #6: the full suite exceeds 10
+# minutes; `pytest -m "not slow"` is the fast iteration path, CI runs both).
+# Criteria: torch-parity suites (load the reference's real torch modules),
+# compile-heavy multi-model sweeps, and train-loop convergence tests.
+SLOW_MODULES = {
+    "test_reference_parity",       # 29 torch-parity cases, ~8 min
+    "test_pseudo_reference_parity",
+    "test_config_catalog",         # 64-YAML build + per-family train smokes
+    "test_depth_completion",       # PENet parity + train convergence
+    "test_column_sparse",          # two-backbone equivalence compiles
+    "test_e2e",                    # dataset→train→eval loops
+    "test_zoo_variants",           # every detector builds + steps
+    "test_torch_convert",          # loads torch checkpoints
+    "test_camera_branch",          # Swin/LSS compile-heavy
+    "test_mppnet_head",
+    "test_roi_head_template",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy / torch-parity tests "
+        "(deselect with -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

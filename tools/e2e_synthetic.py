@@ -178,6 +178,62 @@ def build_cfg(root: Path, workdir: Path, batch_size=8, model="pillar",
     return cfg_file
 
 
+def factory_quality(root: Path, class_names, iou_thresh=0.5):
+    """Per-class precision/recall of the pseudo-label factory vs the
+    generator's GT (BEV IoU ≥ iou_thresh, camera-frame x/z plane — both label
+    sets share the KITTI camera frame so no calib round-trip is needed).
+    VERDICT r3 item 5: the factory's precision/recall must be recorded
+    alongside the AP trajectory (round 2 measured Car precision 0.28 once,
+    single-class, and it was never re-measured)."""
+    from dfu3d_tpu.data.kitti_io import get_objects_from_label
+    from dfu3d_tpu.data.np_geometry import pairwise_iou_bev
+
+    def cam_bev(objs, cls):
+        rows = [
+            [o.loc[0], o.loc[2], 0.0, o.l, o.w, 1.0, -o.ry]
+            for o in objs if o.cls_type == cls
+        ]
+        return np.asarray(rows, np.float32).reshape(-1, 7)
+
+    stats = {c: {"tp": 0, "fp": 0, "fn": 0} for c in class_names}
+    train_ids = (root / "ImageSets" / "train.txt").read_text().split()
+    for idx in train_ids:
+        pf = root / "label_train" / f"{idx}.txt"
+        gf = root / "label_2" / f"{idx}.txt"
+        pred = get_objects_from_label(pf) if pf.exists() else []
+        gt = get_objects_from_label(gf) if gf.exists() else []
+        for c in class_names:
+            pb, gb = cam_bev(pred, c), cam_bev(gt, c)
+            if len(pb) == 0:
+                stats[c]["fn"] += len(gb)
+                continue
+            if len(gb) == 0:
+                stats[c]["fp"] += len(pb)
+                continue
+            iou = pairwise_iou_bev(pb, gb)
+            # greedy one-to-one matching, best IoU first
+            matched_p, matched_g = set(), set()
+            for pi, gi in sorted(
+                np.ndindex(iou.shape), key=lambda t: -iou[t]
+            ):
+                if iou[pi, gi] < iou_thresh:
+                    break
+                if pi in matched_p or gi in matched_g:
+                    continue
+                matched_p.add(pi)
+                matched_g.add(gi)
+            stats[c]["tp"] += len(matched_p)
+            stats[c]["fp"] += len(pb) - len(matched_p)
+            stats[c]["fn"] += len(gb) - len(matched_g)
+    out = {}
+    for c, s in stats.items():
+        prec = s["tp"] / max(s["tp"] + s["fp"], 1)
+        rec = s["tp"] / max(s["tp"] + s["fn"], 1)
+        out[c] = {"precision": round(prec, 4), "recall": round(rec, 4),
+                  **s}
+    return out
+
+
 def main():
     import os
 
@@ -270,6 +326,8 @@ def main():
     )
     print(f"      pseudo boxes written: {n_lines} across "
           f"{len(list((root / 'label_train').glob('*.txt')))} frames", flush=True)
+    fq = factory_quality(root, class_names)
+    print("FACTORY_QUALITY " + json.dumps(fq), flush=True)
 
     # 3. infos: train ← pseudo labels, val ← GT
     print("[3/5] building infos ...", flush=True)
@@ -323,6 +381,7 @@ def main():
         "protocol": "trained on factory pseudo-labels only, eval vs GT",
         "epochs": args.epochs,
         "frames": {"train": args.n_train, "val": args.n_val},
+        "factory_quality": fq,
     }
     print(json.dumps(result))
 
