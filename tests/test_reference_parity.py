@@ -84,10 +84,13 @@ def _randomize_bn(module):
                 m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
 
 
-def _build_reference_flagship(ref_modules):
+def _build_reference_flagship(ref_modules, pcr=None, voxel=None, grid=None):
     """The reference's actual flagship module stack, randomly initialised,
     with the state-dict key prefixes the converter expects (the prefixes the
     reference's Detector3DTemplate topology produces)."""
+    pcr = PCR if pcr is None else pcr
+    voxel = VOXEL if voxel is None else voxel
+    grid = GRID if grid is None else grid
     vfe_cfg = EDict(dict(
         USE_NORM=True, WITH_DISTANCE=False, USE_ABSLOTE_XYZ=True,
         NUM_FILTERS=[64, 64],
@@ -116,19 +119,19 @@ def _build_reference_flagship(ref_modules):
     container = torch.nn.Module()
     with no_cuda():
         container.vfe = ref_modules["DynamicPillarVFE"](
-            vfe_cfg, num_point_features=4, voxel_size=VOXEL,
-            grid_size=np.array(GRID), point_cloud_range=np.array(PCR),
+            vfe_cfg, num_point_features=4, voxel_size=voxel,
+            grid_size=np.array(grid), point_cloud_range=np.array(pcr),
         )
         container.map_to_bev = ref_modules["PointPillarScatter"](
-            EDict(dict(NUM_BEV_FEATURES=64)), grid_size=GRID,
+            EDict(dict(NUM_BEV_FEATURES=64)), grid_size=grid,
         )
         container.backbone_2d = ref_modules["BaseBEVBackbone"](
             bb_cfg, input_channels=64,
         )
         container.dense_head = ref_modules["CenterHead"](
             dh_cfg, input_channels=384, num_class=len(CLASS_NAMES),
-            class_names=CLASS_NAMES, grid_size=np.array(GRID),
-            point_cloud_range=np.array(PCR), voxel_size=VOXEL,
+            class_names=CLASS_NAMES, grid_size=np.array(grid),
+            point_cloud_range=np.array(pcr), voxel_size=voxel,
             predict_boxes_when_training=False,
         )
     _randomize_bn(container)
