@@ -172,6 +172,228 @@ def map_bases(grid: SparseGrid, b: int):
     return jnp.arange(b, dtype=jnp.int32) * (grid.num_cells + 3)
 
 
+# ---------------------------------------------------------------------------
+# Columnar (BEV) cell maps
+#
+# The dense 3D maps above index num_cells entries (180M at the KITTI stage-1
+# grid, ×2 with the u32 pair companion): building them moves ~1 GB/step and
+# random lookups into them run at ~13 ns/row (profiled round 5,
+# tools/dev/profile_second.py — the largest cost block of the SECOND step).
+# A columnar map stores ONE row per BEV cell (nx·ny = 2.25M at the same
+# grid, 40× smaller): a z-occupancy bitmask (nz ≤ 64) plus the slot of the
+# column's first voxel. The neighbor slot for (x, y, z) is then
+#     base + popcount(occ & bits_below(z)),
+# which is exact because voxel slots are sorted COLUMN-MAJOR (z fastest) —
+# the dynamic_voxelize / downsample_coords compaction order
+# (voxelize.linear_index_3d). A 3×3×3 submanifold lookup needs 9 BEV row
+# gathers (vs 18 window rows on the packed dense path) from a ~50 MB table
+# (vs ~1 GB), and the z taps are pure VPU bit math. This is the map-side
+# half of the column idea WITHOUT the dense-z execution that lost the
+# round-5 A/B 10.7× (AB_COLUMN_r05.json): features keep the gather-GEMM
+# path; only the table machinery goes columnar.
+# ---------------------------------------------------------------------------
+
+COLUMN_MAP_MAX_NZ = 64
+
+
+class ColumnMap(NamedTuple):
+    """Flat batched columnar map: data (B·nx·ny + 1, 3) uint32 rows
+    [occ_lo (z 0-31), occ_hi (z 32-63), base_slot+1 (0 = empty column)].
+    Element b's BEV cell (x, y) is row b·nx·ny + y·nx + x; the trailing row
+    is an all-zero sentinel (never scattered to). REQUIRES the voxel slots
+    to be sorted column-major with z ascending (see module comment)."""
+
+    data: jnp.ndarray
+    nbev: int  # nx · ny (static)
+
+
+def column_major_index(grid: SparseGrid, coords, valid):
+    """Column-major sort key ((y·nx + x)·nz + z); invalid → num_cells."""
+    ix, iy, iz = coords[:, 0], coords[:, 1], coords[:, 2]
+    ok = (
+        valid
+        & (ix >= 0) & (ix < grid.nx)
+        & (iy >= 0) & (iy < grid.ny)
+        & (iz >= 0) & (iz < grid.nz)
+    )
+    lin = (iy * grid.nx + ix) * grid.nz + iz
+    return jnp.where(ok, lin, grid.num_cells)
+
+
+def column_map_bases(grid: SparseGrid, b: int):
+    """(B,) int32 start rows of each element's region in a ColumnMap."""
+    return jnp.arange(b, dtype=jnp.int32) * (grid.nx * grid.ny)
+
+
+def build_column_map_batched(grid: SparseGrid, coords, valid) -> ColumnMap:
+    """One (B·nbev + 1, 3) u32 scatter pass: occupancy bits via scatter-add
+    (bits are distinct per voxel — the voxelizer's unique-cell invariant
+    makes add == or) and column bases via a unique scatter at column starts
+    (consecutive-slot comparison, valid because slots are column-sorted)."""
+    assert grid.nz <= COLUMN_MAP_MAX_NZ, grid
+    b, v = coords.shape[0], coords.shape[1]
+    nbev = grid.nx * grid.ny
+    ix, iy, iz = coords[..., 0], coords[..., 1], coords[..., 2]
+    ok = (
+        valid
+        & (ix >= 0) & (ix < grid.nx)
+        & (iy >= 0) & (iy < grid.ny)
+        & (iz >= 0) & (iz < grid.nz)
+    )
+    bev = iy * grid.nx + ix
+    base_off = (jnp.arange(b, dtype=jnp.int32) * nbev)[:, None]
+    # invalid rows target b·nbev + 1 — out of range of the (b·nbev + 1)-row
+    # buffer, so mode="drop" discards them and the sentinel row stays zero
+    ids = jnp.where(ok, bev + base_off, b * nbev + 1)
+
+    zc = jnp.clip(iz, 0, grid.nz - 1).astype(jnp.uint32)
+    one = jnp.uint32(1)
+    bit_lo = jnp.where(ok & (zc < 32), one << jnp.minimum(zc, 31), 0)
+    bit_hi = jnp.where(ok & (zc >= 32),
+                       one << jnp.minimum(zc - 32, 31), 0)
+
+    flat_ids = ids.reshape(-1)
+    occ = (
+        jnp.zeros((b * nbev + 1, 2), jnp.uint32)
+        .at[flat_ids]
+        .add(jnp.stack([bit_lo, bit_hi], axis=-1).reshape(-1, 2),
+             mode="drop")
+    )
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, ids.dtype), ids[:, :-1]], axis=1)
+    is_start = ok & (ids != prev)
+    slot = jnp.broadcast_to(
+        jnp.arange(1, v + 1, dtype=jnp.uint32)[None], (b, v))
+    base = (
+        jnp.zeros((b * nbev + 1,), jnp.uint32)
+        .at[jnp.where(is_start, ids, b * nbev + 1).reshape(-1)]
+        .set(slot.reshape(-1), mode="drop", unique_indices=True)
+    )
+    return ColumnMap(jnp.concatenate([occ, base[:, None]], axis=-1), nbev)
+
+
+@functools.lru_cache(maxsize=32)
+def _grouped_offsets(off_key) -> tuple:
+    """Static regrouping of a (K, 3) offset list by BEV tap (ox, oy):
+    (((ox, oy), ((dz, k), ...)), ...) preserving first-seen group order."""
+    off = np.asarray(off_key, np.int32).reshape(-1, 3)
+    groups: dict = {}
+    for k, (ox, oy, oz) in enumerate(off):
+        groups.setdefault((int(ox), int(oy)), []).append((int(oz), int(k)))
+    return tuple((g, tuple(taps)) for g, taps in groups.items())
+
+
+def _column_rank(occ_lo, occ_hi, zp, nz):
+    """(present, rank) of z slot `zp` in a column's occupancy bits."""
+    zc = jnp.clip(zp, 0, COLUMN_MAP_MAX_NZ - 1).astype(jnp.uint32)
+    lo = zc < 32
+    sh_lo = jnp.minimum(zc, 31)
+    sh_hi = jnp.minimum(jnp.where(lo, 0, zc - 32), 31)
+    one = jnp.uint32(1)
+    present = jnp.where(
+        lo, (occ_lo >> sh_lo) & one, (occ_hi >> sh_hi) & one) == 1
+    mask_lo = jnp.where(lo, (one << sh_lo) - one, jnp.uint32(0xFFFFFFFF))
+    mask_hi = jnp.where(lo, jnp.uint32(0), (one << sh_hi) - one)
+    rank = (jax.lax.population_count(occ_lo & mask_lo)
+            + jax.lax.population_count(occ_hi & mask_hi))
+    zok = (zp >= 0) & (zp < nz)
+    return present & zok, rank.astype(jnp.int32)
+
+
+def find_neighbors_via_column_map(grid: SparseGrid, query_coords, query_valid,
+                                  colmap: ColumnMap, v: int, offsets, base=0):
+    """Columnar twin of `find_neighbors_via_map`: (Q, K) slot indices,
+    sentinel = v. One BEV row gather per unique (ox, oy) tap group (9 for a
+    3×3×3 kernel, 1 for the z-only (1,1,3) conv_out); z taps are bit tests +
+    popcount ranking. `base` = the element's start row (column_map_bases)."""
+    groups = _grouped_offsets(tuple(np.asarray(offsets).reshape(-1)))
+    x, y, z = query_coords[:, 0], query_coords[:, 1], query_coords[:, 2]
+    k_total = int(np.asarray(offsets).reshape(-1, 3).shape[0])
+    out = [None] * k_total
+    for (ox, oy), taps in groups:
+        cx, cy = x + ox, y + oy
+        ok2 = (query_valid
+               & (cx >= 0) & (cx < grid.nx) & (cy >= 0) & (cy < grid.ny))
+        cell = base + (jnp.clip(cy, 0, grid.ny - 1) * grid.nx
+                       + jnp.clip(cx, 0, grid.nx - 1))
+        row = jnp.take(colmap.data, cell, axis=0)  # (Q, 3) u32, clip mode
+        occ_lo, occ_hi, bp = row[:, 0], row[:, 1], row[:, 2]
+        for dz, k in taps:
+            present, rank = _column_rank(occ_lo, occ_hi, z + dz, grid.nz)
+            slot = bp.astype(jnp.int32) - 1 + rank
+            out[k] = jnp.where(ok2 & present & (bp > 0), slot, v)
+    return jnp.stack(out, axis=1).astype(jnp.int32)
+
+
+def transpose_down_neighbors_column(down_grid: SparseGrid, in_coords,
+                                    in_valid, out_colmap: ColumnMap,
+                                    q_cap: int, offsets, z_only=False,
+                                    base=0):
+    """Columnar twin of `transpose_down_neighbors(_packed)`: for each input
+    voxel p and tap k, the output slot q with center(q) + offsets[k] ==
+    in_coords[p] (sentinel q_cap). Full-3D stride: the implied BEV parents
+    span the 2×2 window at (⌊(x−1)/2⌋, ⌊(y−1)/2⌋) — 4 row gathers; z_only:
+    the voxel's own BEV cell — 1 row gather."""
+    off = np.asarray(offsets, np.int32)
+    x, y, z = in_coords[:, 0], in_coords[:, 1], in_coords[:, 2]
+
+    if z_only:
+        ok0 = (in_valid & (x >= 0) & (x < down_grid.nx)
+               & (y >= 0) & (y < down_grid.ny))
+        cell = base + (jnp.clip(y, 0, down_grid.ny - 1) * down_grid.nx
+                       + jnp.clip(x, 0, down_grid.nx - 1))
+        row = jnp.take(out_colmap.data, cell, axis=0)
+        occ_lo, occ_hi, bp = row[:, 0], row[:, 1], row[:, 2]
+        outs = []
+        for k in range(off.shape[0]):
+            oz = int(off[k, 2])
+            tz = z - oz
+            par_ok = (tz % 2) == 0
+            qz = tz // 2
+            present, rank = _column_rank(occ_lo, occ_hi, qz, down_grid.nz)
+            slot = bp.astype(jnp.int32) - 1 + rank
+            outs.append(jnp.where(ok0 & par_ok & present & (bp > 0),
+                                  slot, q_cap))
+        return jnp.stack(outs, axis=1).astype(jnp.int32)
+
+    qx0, qy0 = (x - 1) // 2, (y - 1) // 2
+    rows = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cx, cy = qx0 + dx, qy0 + dy
+            ok2 = (in_valid & (cx >= 0) & (cx < down_grid.nx)
+                   & (cy >= 0) & (cy < down_grid.ny))
+            cell = base + (jnp.clip(cy, 0, down_grid.ny - 1) * down_grid.nx
+                           + jnp.clip(cx, 0, down_grid.nx - 1))
+            r = jnp.take(out_colmap.data, cell, axis=0)
+            rows.append((ok2, r[:, 0], r[:, 1], r[:, 2]))
+
+    outs = []
+    for k in range(off.shape[0]):
+        oxk, oyk, ozk = int(off[k, 0]), int(off[k, 1]), int(off[k, 2])
+        tx, ty, tz = x - oxk, y - oyk, z - ozk
+        par_ok = ((tx % 2) == 0) & ((ty % 2) == 0) & ((tz % 2) == 0)
+        qx, qy, qz = tx // 2, ty // 2, tz // 2
+        wx, wy = qx - qx0, qy - qy0  # ∈ {0, 1} when in the parent window
+        # branchless 4-way select of the gathered parent row (pure VPU)
+        sel_ok = jnp.zeros_like(par_ok)
+        occ_lo = jnp.zeros_like(rows[0][1])
+        occ_hi = jnp.zeros_like(rows[0][2])
+        bp = jnp.zeros_like(rows[0][3])
+        for j, (ok2, lo, hi, bs) in enumerate(rows):
+            pick = (wy * 2 + wx) == j
+            sel_ok = jnp.where(pick, ok2, sel_ok)
+            occ_lo = jnp.where(pick, lo, occ_lo)
+            occ_hi = jnp.where(pick, hi, occ_hi)
+            bp = jnp.where(pick, bs, bp)
+        present, rank = _column_rank(occ_lo, occ_hi, qz, down_grid.nz)
+        slot = bp.astype(jnp.int32) - 1 + rank
+        ok = (par_ok & sel_ok & present & (bp > 0)
+              & (wx >= 0) & (wx <= 1) & (wy >= 0) & (wy <= 1))
+        outs.append(jnp.where(ok, slot, q_cap))
+    return jnp.stack(outs, axis=1).astype(jnp.int32)
+
+
 def _map_parts(cell_map):
     """Accept a CellMap or a bare slots array (oracle tests / focal path)."""
     if isinstance(cell_map, CellMap):
@@ -450,8 +672,10 @@ def downsample_coords(down_grid: SparseGrid, coords, valid, out_cap: int,
         )
     else:
         parent = coords // 2
-    # unique via sort-compaction on the output-grid linear id (int32-safe)
-    key = linearize(down_grid, parent, valid)
+    # unique via sort-compaction on the output-grid COLUMN-MAJOR id: output
+    # slots inherit the columnar ordering (z fastest), preserving the
+    # ColumnMap invariant down every stage (int32-safe either order)
+    key = column_major_index(down_grid, parent, valid)
     sentinel = down_grid.num_cells
     order = jnp.argsort(key)
     skey = key[order]

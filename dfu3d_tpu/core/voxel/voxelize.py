@@ -89,9 +89,18 @@ def bev_linear_index(grid: VoxelGrid, coords, ok):
 
 
 def linear_index_3d(grid: VoxelGrid, coords, ok):
-    """(N, 3) voxel coords → (N,) linearized 3D cell id (iz * ny * nx + iy * nx + ix)."""
-    nx, ny, _ = grid.grid_size
-    idx = (coords[:, 2] * ny + coords[:, 1]) * nx + coords[:, 0]
+    """(N, 3) voxel coords → (N,) COLUMN-MAJOR 3D cell id
+    ((iy * nx + ix) * nz + iz — z fastest).
+
+    This is the voxel-slot SORT key: dynamic_voxelize compacts slots in this
+    order, which makes every BEV column's voxels occupy consecutive slots
+    with z ascending — the invariant the sparse backbone's columnar cell
+    maps rely on (core/voxel/sparse_ops.ColumnMap: neighbor slot = column
+    base + popcount of the z-occupancy mask). Dense cell-map LAYOUT keys are
+    separate (sparse_ops.linearize) and unchanged.
+    """
+    nx, _, nz = grid.grid_size
+    idx = (coords[:, 1] * nx + coords[:, 0]) * nz + coords[:, 2]
     return jnp.where(ok, idx, grid.num_cells)
 
 

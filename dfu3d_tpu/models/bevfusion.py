@@ -79,6 +79,7 @@ class TransFusion(nn.Module):
             point_cloud_range=tuple(self.grid.point_cloud_range),
             voxel_size=tuple(self.grid.voxel_size),
             feature_map_stride=int(tac.get("FEATURE_MAP_STRIDE", 8)),
+            matcher=str(dh.get("MATCHER", "auto")),
             dtype=self.dtype,
         )
 

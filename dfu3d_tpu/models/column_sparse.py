@@ -61,8 +61,9 @@ def columns_from_voxels(grid: SparseGrid, feats, coords, valid, col_cap: int):
     """(B, V, C) voxel list → dense-z columns.
 
     Returns (col_feats (B, P, Z, C), col_xy (B, P, 2), col_valid (B, P),
-    zmask (B, P, Z)). Columns beyond col_cap drop (first-seen wins — the
-    dynamic_voxelize truncation contract).
+    zmask (B, P, Z)). Columns beyond col_cap drop by sorted BEV linear
+    index (largest y·nx+x first) — caps are expected non-binding; the
+    module header documents the overflow deviation vs the gather path.
     """
     v = feats.shape[1]
     z = grid.nz
@@ -449,4 +450,7 @@ def select_backbone8x(bb3d_cfg=None):
         form = bb3d_cfg.get("FORMULATION")
     if form is None:
         form = os.environ.get("DFU3D_SPARSE_FORMULATION", "gather")
+    if form not in ("column", "gather"):
+        raise ValueError(
+            f"FORMULATION must be 'column' or 'gather', got {form!r}")
     return ColumnVoxelBackBone8x if form == "column" else VoxelBackBone8x

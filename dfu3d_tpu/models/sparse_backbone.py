@@ -33,18 +33,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.voxel.sparse_ops import (
+    COLUMN_MAP_MAX_NZ,
     DENSE_MAP_MAX_CELLS,
+    ColumnMap,
     SparseGrid,
     _is_x_packable,
     build_cell_map_batched,
+    build_column_map_batched,
     build_lookup,
+    column_map_bases,
     downsample_coords,
     find_neighbors,
+    find_neighbors_via_column_map,
     find_neighbors_via_map,
     find_neighbors_via_map_packed,
     kernel_offsets,
     map_bases,
     transpose_down_neighbors,
+    transpose_down_neighbors_column,
     transpose_down_neighbors_packed,
 )
 
@@ -101,6 +107,20 @@ def _batched_cell_map(grid: SparseGrid, coords, valid):
     )
 
 
+def _stage_map(grid: SparseGrid, coords, valid):
+    """Per-stage coordinate map: COLUMNAR when nz fits the 64-bit occupancy
+    mask (the fast path — ~40× smaller tables than the dense 3D maps, see
+    sparse_ops.ColumnMap), else the dense map. ONLY valid for coordinate
+    sets in column-major slot order (dynamic_voxelize / downsample_coords
+    outputs) — callers with re-ordered sets (FocalSparseConv dilation) must
+    keep `_batched_cell_map`."""
+    if grid.nz <= COLUMN_MAP_MAX_NZ:
+        return jax.lax.optimization_barrier(
+            build_column_map_batched(grid, coords, valid)
+        )
+    return _batched_cell_map(grid, coords, valid)
+
+
 def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
                        valid, offsets, cmap=None):
     """(B, Q, K) neighbor indices into each element's (V,) voxel list.
@@ -113,6 +133,15 @@ def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
     indice_key reuse, one map build per stage instead of three).
     """
     nvox = coords.shape[1]
+
+    if isinstance(cmap, ColumnMap):
+        # columnar lookup: one BEV row gather per (ox, oy) tap group + VPU
+        # popcount ranking for the z taps (sparse_ops.ColumnMap)
+        bases = column_map_bases(grid, query_coords.shape[0])
+        return jax.lax.optimization_barrier(jax.vmap(
+            lambda qc, qv, base: find_neighbors_via_column_map(
+                grid, qc, qv, cmap, nvox, offsets, base)
+        )(query_coords, query_valid, bases))
 
     if grid.num_cells <= DENSE_MAP_MAX_CELLS:
         if cmap is None:
@@ -386,26 +415,35 @@ class SparseConv3dDown(nn.Module):
         feats = st.features.astype(self.dtype)
         wk = w.astype(self.dtype)
         out_cmap = None
-        if down.num_cells <= DENSE_MAP_MAX_CELLS and (train or return_out_cmap):
-            out_cmap = _batched_cell_map(down, out_coords, out_valid)
+        if down.num_cells <= DENSE_MAP_MAX_CELLS or down.nz <= COLUMN_MAP_MAX_NZ:
+            if train or return_out_cmap:
+                # downsample_coords outputs are always column-sorted, so the
+                # columnar map is valid here regardless of the input set
+                out_cmap = _stage_map(down, out_coords, out_valid)
         if train and out_cmap is not None:
             # gather-only backward: the output cell map + transpose table
             # (cheap scatters / element takes) make dX a gather too.
-            # Packed 2×2×2-window transpose table for full-3D 3³ strides;
-            # the z_only conv_out (K=3, small map) and wider kernels
-            # (SPCONV_KERNEL_SIZES 5 in voxelnext_ioubranch_large) keep the
-            # element path
-            bases = map_bases(down, st.coords.shape[0])
-            if self.z_only:
-                t_fn = lambda ic, iv, base: transpose_down_neighbors(  # noqa: E731
+            # Columnar transpose when the output map is columnar (4 BEV rows
+            # per input voxel full-3D, 1 row z_only); else packed 2×2×2
+            # windows for 3³ strides / the element path for wider kernels
+            # (SPCONV_KERNEL_SIZES 5 in voxelnext_ioubranch_large)
+            if isinstance(out_cmap, ColumnMap):
+                bases = column_map_bases(down, st.coords.shape[0])
+                t_fn = lambda ic, iv, base: transpose_down_neighbors_column(  # noqa: E731
                     down, ic, iv, out_cmap, self.out_cap, offsets,
-                    z_only=True, base=base)
-            elif tuple(ks) == (3, 3, 3):
-                t_fn = lambda ic, iv, base: transpose_down_neighbors_packed(  # noqa: E731
-                    down, ic, iv, out_cmap, self.out_cap, offsets, base=base)
+                    z_only=self.z_only, base=base)
             else:
-                t_fn = lambda ic, iv, base: transpose_down_neighbors(  # noqa: E731
-                    down, ic, iv, out_cmap, self.out_cap, offsets, base=base)
+                bases = map_bases(down, st.coords.shape[0])
+                if self.z_only:
+                    t_fn = lambda ic, iv, base: transpose_down_neighbors(  # noqa: E731
+                        down, ic, iv, out_cmap, self.out_cap, offsets,
+                        z_only=True, base=base)
+                elif tuple(ks) == (3, 3, 3):
+                    t_fn = lambda ic, iv, base: transpose_down_neighbors_packed(  # noqa: E731
+                        down, ic, iv, out_cmap, self.out_cap, offsets, base=base)
+                else:
+                    t_fn = lambda ic, iv, base: transpose_down_neighbors(  # noqa: E731
+                        down, ic, iv, out_cmap, self.out_cap, offsets, base=base)
             tnbr = jax.lax.optimization_barrier(
                 jax.vmap(t_fn)(st.coords, st.valid, bases)
             )
@@ -452,7 +490,7 @@ class VoxelBackBone8x(nn.Module):
             # strided conv's out_cmap is handed in so the map is built ONCE
             # per coordinate set per step
             if cmap is None:
-                cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+                cmap = _stage_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
                 cmap=cmap,
@@ -531,7 +569,7 @@ class SparseEncoder(nn.Module):
 
         def stage_tables(st, cmap=None):
             if cmap is None:
-                cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+                cmap = _stage_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
                 cmap=cmap,
@@ -589,7 +627,7 @@ class VoxelResBackBone8xVoxelNeXt(nn.Module):
 
         def stage_tables(st, cmap=None):
             if cmap is None:
-                cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+                cmap = _stage_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets3,
                 cmap=cmap,
@@ -678,7 +716,7 @@ class VoxelResBackBone8x(nn.Module):
 
         def stage_tables(st, cmap=None):
             if cmap is None:
-                cmap = _batched_cell_map(st.grid, st.coords, st.valid)
+                cmap = _stage_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
                 cmap=cmap,

@@ -38,6 +38,14 @@ def _scene(rng, b=B, v=V):
         _, first = np.unique(lin, return_index=True)
         valid[e, first] = True
         valid[e, rng.rand(v) < 0.1] = False
+        # column-major slot order, valid first (the dynamic_voxelize
+        # compaction invariant the gather path's ColumnMap relies on)
+        key = (coords[e, :, 1].astype(np.int64) * GRID.nx
+               + coords[e, :, 0]) * GRID.nz + coords[e, :, 2]
+        order = np.argsort(np.where(valid[e], key, GRID.num_cells),
+                           kind="stable")
+        coords[e] = coords[e][order]
+        valid[e] = valid[e][order]
     feats = rng.randn(b, v, CIN).astype(np.float32)
     feats[~valid] = 0.0
     return jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid)

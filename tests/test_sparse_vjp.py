@@ -306,3 +306,126 @@ class TestPairPackedFetch:
                 down, ic, iv, cmap, q_cap, offsets, base=base)
         )(coords, valid, bases)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _random_column_sorted(rng, b, v, grid, n_valid):
+    """Random unique sparse set in COLUMN-MAJOR slot order (valid first, z
+    fastest) — the dynamic_voxelize / downsample_coords compaction invariant
+    the ColumnMap relies on."""
+    coords, valid = _random_sparse(rng, b, v, grid, n_valid)
+    coords, valid = np.asarray(coords), np.asarray(valid)
+    out_c = np.zeros_like(coords)
+    out_v = np.zeros_like(valid)
+    for i in range(b):
+        key = (coords[i, :, 1] * grid.nx + coords[i, :, 0]) * grid.nz + coords[i, :, 2]
+        key = np.where(valid[i], key, grid.num_cells)
+        order = np.argsort(key, kind="stable")
+        out_c[i] = coords[i][order]
+        out_v[i] = valid[i][order]
+    return jnp.asarray(out_c), jnp.asarray(out_v)
+
+
+class TestColumnarMap:
+    """Columnar BEV map (occupancy bitmask + popcount ranking) must agree
+    exactly with the dense 3D cell map on every lookup shape the backbone
+    issues (sparse_ops.ColumnMap; round-5 table-machinery redesign)."""
+
+    @pytest.mark.parametrize("nz,ks", [(6, (3, 3, 3)), (40, (3, 3, 3)),
+                                       (64, (3, 3, 3)), (40, (1, 1, 3)),
+                                       (7, (5, 5, 5))])
+    def test_column_lookup_matches_element(self, nz, ks):
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_cell_map_batched, build_column_map_batched,
+            column_map_bases, find_neighbors_via_column_map,
+            find_neighbors_via_map)
+
+        rng = np.random.RandomState(nz)
+        grid = SparseGrid(9, 8, nz)
+        b, v = 2, 160
+        coords, valid = _random_column_sorted(rng, b, v, grid, 120)
+        offsets = kernel_offsets(*ks)
+        dmap = build_cell_map_batched(grid, coords, valid)
+        want = jax.vmap(
+            lambda c, vd, base: find_neighbors_via_map(
+                grid, c, vd, dmap.slots, v, offsets, base)
+        )(coords, valid, map_bases(grid, b))
+        colmap = build_column_map_batched(grid, coords, valid)
+        got = jax.vmap(
+            lambda c, vd, base: find_neighbors_via_column_map(
+                grid, c, vd, colmap, v, offsets, base)
+        )(coords, valid, column_map_bases(grid, b))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_column_lookup_strided_centers(self):
+        """Down-conv forward lookups query EVEN centers of the input grid."""
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_cell_map_batched, build_column_map_batched,
+            column_map_bases, downsample_coords,
+            find_neighbors_via_column_map, find_neighbors_via_map)
+
+        rng = np.random.RandomState(3)
+        grid = SparseGrid(12, 10, 40)
+        down = grid.down()
+        b, v, q_cap = 2, 160, 128
+        coords, valid = _random_column_sorted(rng, b, v, grid, 130)
+        out_c, out_v, _ = jax.vmap(
+            lambda c, vd: downsample_coords(down, c, vd, q_cap)
+        )(coords, valid)
+        centers = out_c * 2
+        offsets = kernel_offsets(3, 3, 3)
+        dmap = build_cell_map_batched(grid, coords, valid)
+        want = jax.vmap(
+            lambda qc, qv, base: find_neighbors_via_map(
+                grid, qc, qv, dmap.slots, v, offsets, base)
+        )(centers, out_v, map_bases(grid, b))
+        colmap = build_column_map_batched(grid, coords, valid)
+        got = jax.vmap(
+            lambda qc, qv, base: find_neighbors_via_column_map(
+                grid, qc, qv, colmap, v, offsets, base)
+        )(centers, out_v, column_map_bases(grid, b))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("z_only", [False, True])
+    def test_column_transpose_matches_element(self, z_only):
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_cell_map_batched, build_column_map_batched,
+            column_map_bases, downsample_coords,
+            transpose_down_neighbors, transpose_down_neighbors_column)
+
+        rng = np.random.RandomState(11)
+        grid = SparseGrid(13, 11, 40)
+        down = grid.down_z() if z_only else grid.down()
+        b, v, q_cap = 2, 160, 128
+        coords, valid = _random_column_sorted(rng, b, v, grid, 120)
+        out_c, out_v, _ = jax.vmap(
+            lambda c, vd: downsample_coords(down, c, vd, q_cap,
+                                            z_only=z_only)
+        )(coords, valid)
+        offsets = kernel_offsets(1, 1, 3) if z_only else kernel_offsets(3, 3, 3)
+        dmap = build_cell_map_batched(down, out_c, out_v)
+        want = jax.vmap(
+            lambda ic, iv, base: transpose_down_neighbors(
+                down, ic, iv, dmap.slots, q_cap, offsets, z_only=z_only,
+                base=base)
+        )(coords, valid, map_bases(down, b))
+        colmap = build_column_map_batched(down, out_c, out_v)
+        got = jax.vmap(
+            lambda ic, iv, base: transpose_down_neighbors_column(
+                down, ic, iv, colmap, q_cap, offsets, z_only=z_only,
+                base=base)
+        )(coords, valid, column_map_bases(down, b))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_voxelizer_order_is_column_major(self):
+        """The slot-contiguity invariant itself: dynamic_voxelize compacts
+        columns into consecutive slots with z ascending."""
+        from dfu3d_tpu.core.voxel import VoxelGrid, dynamic_voxelize
+
+        rng = np.random.RandomState(0)
+        g = VoxelGrid.create([0, 0, 0, 8, 8, 8], [1, 1, 1])
+        pts = rng.uniform(0, 8, (600, 3)).astype(np.float32)
+        out = dynamic_voxelize(g, jnp.asarray(pts),
+                               jnp.ones(600, bool), max_voxels=600)
+        vc = np.asarray(out.voxel_coords)[: int(out.num_voxels)]
+        key = (vc[:, 1] * 8 + vc[:, 0]) * 8 + vc[:, 2]
+        assert np.all(np.diff(key) > 0)

@@ -41,10 +41,21 @@ def main():
     # unique cells per element (voxelizer invariant)
     coords = np.zeros((b, v, 3), np.int32)
     for e in range(b):
-        lin = rng.choice(grid.num_cells, size=v, replace=False)
+        # oversample-and-unique: exact uniqueness at 60k of ~90M cells is
+        # nearly free this way, vs rng.choice(replace=False) permuting the
+        # whole 90M-cell index space (~720 MB) per element
+        lin = np.unique(rng.randint(0, grid.num_cells, size=2 * v))
+        rng.shuffle(lin)
+        lin = lin[:v]
+        assert lin.size == v, "oversample produced too few unique cells"
         coords[e, :, 0] = lin % grid.nx
         coords[e, :, 1] = (lin // grid.nx) % grid.ny
         coords[e, :, 2] = lin // (grid.nx * grid.ny)
+        # column-major slot order (z fastest) — the voxelizer invariant the
+        # columnar cell maps rely on (sparse_ops.ColumnMap)
+        key = (coords[e, :, 1].astype(np.int64) * grid.nx
+               + coords[e, :, 0]) * grid.nz + coords[e, :, 2]
+        coords[e] = coords[e][np.argsort(key)]
     feats = rng.randn(b, v, 4).astype(np.float32)
     valid = np.ones((b, v), bool)
     feats_d = jax.device_put(jnp.asarray(feats))

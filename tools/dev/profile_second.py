@@ -95,7 +95,18 @@ def main():
     args = ap.parse_args()
     step, state, batch = build_step(args.voxels, args.batch)
     tmp, iters = profile(step, state, batch, args.iters)
-    aggregate(tmp, iters, args.top)
+    per_op, total = aggregate(tmp, iters, args.top)
+
+    from profile_flagship import categorize
+
+    by_cat = collections.Counter()
+    for name, ms in per_op.items():
+        if name.startswith("jit_"):
+            continue
+        by_cat[categorize(name)] += ms
+    print("\n== by category (ms/step, async copies double-counted) ==")
+    for cat, ms in by_cat.most_common():
+        print(f"{ms:9.3f}  {cat}")
 
 
 if __name__ == "__main__":

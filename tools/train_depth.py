@@ -200,9 +200,13 @@ def main(argv=None):
     label_tree = jax.tree_util.tree_map_with_path(
         lambda p, _: "train" if trainable([k.key for k in p]) else "frozen",
         params)
-    # the reference's per-epoch step decay as a per-step optax schedule
+    # the reference's per-epoch step decay as a per-step optax schedule;
+    # the 'pe' curve applies only when training the full PENet (reference
+    # helper.adjust_learning_rate:221 falls back to the 'e' curve when the
+    # backbone is frozen)
+    pe_decay = cspn and not args.freeze_backbone
     spe = max(1, len(train_frames))
-    decay = ({10: 0.5, 20: 0.2, 30: 0.1, 40: 0.05, 50: 0.02} if cspn
+    decay = ({10: 0.5, 20: 0.2, 30: 0.1, 40: 0.05, 50: 0.02} if pe_decay
              else {10: 0.5, 15: 0.2, 25: 0.1})
     sched = optax.piecewise_constant_schedule(
         args.lr, {e * spe: f for e, f in decay.items()})
@@ -244,7 +248,7 @@ def main(argv=None):
 
     csvlog = DepthCsvLogger(args.out)
     for epoch in range(args.epochs):
-        lr = lr_for_epoch(args.lr, epoch, cspn)
+        lr = lr_for_epoch(args.lr, epoch, pe_decay)
         w1, w2 = stage_weights(epoch) if not cspn else (0.0, 0.0)
         meter, t0 = DepthAverageMeter(), time.time()
         order = rng.permutation(len(train_frames))
