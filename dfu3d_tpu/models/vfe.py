@@ -41,8 +41,16 @@ class MaskedBatchNorm(nn.Module):
         if train:
             m = mask.astype(jnp.float32)[:, None]
             count = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x.astype(jnp.float32) * m, axis=0) / count
-            var = jnp.sum(jnp.square(x.astype(jnp.float32) - mean) * m, axis=0) / count
+            xf = x.astype(jnp.float32) * m
+            # one-pass stats (E[x²] − mean²): the two-pass form re-reads the
+            # (N, C) activation after the mean reduction — at 240k points
+            # that second traversal is pure HBM traffic (round-5 flagship
+            # ablation: the VFE fwd is ~100% memory machinery). fp32
+            # accumulation keeps the cancellation benign at BN scales.
+            mean = jnp.sum(xf, axis=0) / count
+            var = jnp.maximum(
+                jnp.sum(xf * x.astype(jnp.float32), axis=0) / count
+                - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
@@ -131,8 +139,15 @@ class DynPillarVFE(nn.Module):
         order = jnp.argsort(cell_id)
         sorted_ids = jnp.take(cell_id, order)
         flat = jnp.take(flat, order, axis=0)
-        coords = jnp.take(coords, order, axis=0)
-        ok = jnp.take(ok, order)
+        # coords and ok are FUNCTIONS of the sorted cell id — derive them
+        # (VPU arithmetic) instead of gathering two more 240k-row tensors
+        # (round-5 ablation: the VFE fwd is machinery-bound, and each gather
+        # carries its own index prefetch copies). Invalid rows derive
+        # garbage coords, but every consumer masks by `ok`.
+        ok = sorted_ids < b * cells
+        cell_in_elem = jnp.where(ok, sorted_ids % cells, 0)
+        coords = jnp.stack(
+            [cell_in_elem % nx, cell_in_elem // nx], axis=-1)
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
         ) & (sorted_ids < b * cells)
@@ -240,7 +255,7 @@ class DynVoxelVFE(nn.Module):
         order = jnp.argsort(seg)
         flat = jnp.take(flat, order, axis=0)
         seg = jnp.take(seg, order)
-        ok = jnp.take(ok, order)
+        ok = seg < b * cap  # derived: invalid points already carry sentinel
         num_segments = b * cap
 
         xyz = flat[:, 0:3].astype(jnp.float32)
