@@ -145,3 +145,45 @@ class DepthCsvLogger:
 def evaluate_depth_np(pred: np.ndarray, target: np.ndarray) -> dict:
     """Host/numpy convenience wrapper returning plain floats."""
     return {k: float(v) for k, v in evaluate_depth(pred, target).items()}
+
+
+# ---------------------------------------------------------------------------
+# Image-comparison logger (reference helper.logger.conditional_save_img_
+# comparison + vis_utils.merge_into_row, tools/PENet/helper.py:129-154 /
+# vis_utils.py:23-90): per val epoch, up to 8 rows of
+# [rgb | colorized sparse input | colorized prediction | colorized gt]
+# written as comparison_<epoch>.png, re-saved as comparison_best.png when
+# the epoch sets a new best. jet colormap like the reference's plt.cm.jet;
+# PIL instead of cv2 (absent here).
+# ---------------------------------------------------------------------------
+
+
+def _depth_colorize(depth: np.ndarray) -> np.ndarray:
+    """(H, W) metric depth → (H, W, 3) uint8 jet (vis_utils.depth_colorize)."""
+    from matplotlib import cm
+
+    d = np.asarray(depth, np.float32)
+    lo, hi = float(np.min(d)), float(np.max(d))
+    d = (d - lo) / max(hi - lo, 1e-6)
+    return (255 * cm.jet(d)[:, :, :3]).astype(np.uint8)
+
+
+def comparison_row(rgb, sparse_d, pred, gt) -> np.ndarray:
+    """One comparison row (vis_utils.merge_into_row: rgb, d, pred, gt)."""
+    rgb8 = np.asarray(rgb)
+    if rgb8.dtype != np.uint8:
+        rgb8 = np.clip(rgb8 * (255.0 if rgb8.max() <= 1.5 else 1.0),
+                       0, 255).astype(np.uint8)
+    parts = [rgb8, _depth_colorize(np.asarray(sparse_d)),
+             _depth_colorize(np.asarray(pred)),
+             _depth_colorize(np.asarray(gt))]
+    return np.hstack(parts)
+
+
+def save_img_comparison(path, rows) -> None:
+    """Stack rows (vis_utils.add_row) and write a png (save_image)."""
+    from PIL import Image
+
+    if not rows:
+        return
+    Image.fromarray(np.vstack(rows)).save(str(path))

@@ -266,13 +266,28 @@ def main(argv=None):
                     f" mae={avg['mae']:.1f}mm delta1={avg['delta1']:.3f}")
 
         meter = DepthAverageMeter()
+        comp_rows = []
         for rgb, sd, sup, intr in val_frames:
             pred = eval_step(params, batch_stats, jnp.asarray(rgb[None]),
                              jnp.asarray(sd[None, ..., None]), intr)
             meter.update(jax.device_get(
                 evaluate_depth(pred[0, ..., 0], sup)))
+            if len(comp_rows) < 8:
+                # reference conditional_save_img_comparison (helper.py:139):
+                # up to 8 [rgb|sparse|pred|gt] rows per val epoch
+                from dfu3d_tpu.eval.depth_metrics import comparison_row
+
+                comp_rows.append(comparison_row(
+                    rgb, sd, np.asarray(pred[0, ..., 0]), sup))
+        from dfu3d_tpu.eval.depth_metrics import save_img_comparison
+
+        comp_png = Path(args.out) / f"comparison_{epoch}.png"
+        save_img_comparison(comp_png, comp_rows)
         avg = meter.average()
         if csvlog.append("val", epoch, avg):
+            if comp_rows:
+                save_img_comparison(
+                    Path(args.out) / "comparison_best.png", comp_rows)
             import orbax.checkpoint as ocp
 
             ckpt_dir = (Path(args.out) / "best_ckpt").absolute()
