@@ -197,11 +197,15 @@ COLUMN_MAP_MAX_NZ = 64
 
 
 class ColumnMap(NamedTuple):
-    """Flat batched columnar map: data (B·nx·ny + 1, 3) uint32 rows
+    """Flat batched columnar map: data (B·(nx·ny + 1), 3) uint32 rows
     [occ_lo (z 0-31), occ_hi (z 32-63), base_slot+1 (0 = empty column)].
-    Element b's BEV cell (x, y) is row b·nx·ny + y·nx + x; the trailing row
-    is an all-zero sentinel (never scattered to). REQUIRES the voxel slots
-    to be sorted column-major with z ascending (see module comment)."""
+    Element b's BEV cell (x, y) is row b·(nx·ny + 1) + y·nx + x; each
+    element's trailing row is its invalid-voxel sink (never looked up —
+    queries clamp to cell < nx·ny). The per-element stride keeps the
+    build's scatter ids MONOTONE so occupancy accumulates as a sorted
+    segment sum instead of a duplicate-index scatter-add. REQUIRES the
+    voxel slots to be sorted column-major with z ascending (see module
+    comment)."""
 
     data: jnp.ndarray
     nbev: int  # nx · ny (static)
@@ -222,7 +226,7 @@ def column_major_index(grid: SparseGrid, coords, valid):
 
 def column_map_bases(grid: SparseGrid, b: int):
     """(B,) int32 start rows of each element's region in a ColumnMap."""
-    return jnp.arange(b, dtype=jnp.int32) * (grid.nx * grid.ny)
+    return jnp.arange(b, dtype=jnp.int32) * (grid.nx * grid.ny + 1)
 
 
 def build_column_map_batched(grid: SparseGrid, coords, valid) -> ColumnMap:
@@ -241,10 +245,12 @@ def build_column_map_batched(grid: SparseGrid, coords, valid) -> ColumnMap:
         & (iz >= 0) & (iz < grid.nz)
     )
     bev = iy * grid.nx + ix
-    base_off = (jnp.arange(b, dtype=jnp.int32) * nbev)[:, None]
-    # invalid rows target b·nbev + 1 — out of range of the (b·nbev + 1)-row
-    # buffer, so mode="drop" discards them and the sentinel row stays zero
-    ids = jnp.where(ok, bev + base_off, b * nbev + 1)
+    stride = nbev + 1
+    base_off = (jnp.arange(b, dtype=jnp.int32) * stride)[:, None]
+    # invalid rows target each element's own trailing sink row, keeping ids
+    # MONOTONE per element AND across the flat id space (column-major slot
+    # order puts invalid slots last within each element)
+    ids = jnp.where(ok, bev + base_off, nbev + base_off)
 
     zc = jnp.clip(iz, 0, grid.nz - 1).astype(jnp.uint32)
     one = jnp.uint32(1)
@@ -253,11 +259,14 @@ def build_column_map_batched(grid: SparseGrid, coords, valid) -> ColumnMap:
                        one << jnp.minimum(zc - 32, 31), 0)
 
     flat_ids = ids.reshape(-1)
-    occ = (
-        jnp.zeros((b * nbev + 1, 2), jnp.uint32)
-        .at[flat_ids]
-        .add(jnp.stack([bit_lo, bit_hi], axis=-1).reshape(-1, 2),
-             mode="drop")
+    # occupancy bits via a SORTED segment sum (bits are distinct per voxel,
+    # so sum == or): avoids the serialized duplicate-index scatter-add
+    # (profiled round 5: ~5 ms per stage map at 120k voxels)
+    occ = jax.ops.segment_sum(
+        jnp.stack([bit_lo, bit_hi], axis=-1).reshape(-1, 2).astype(jnp.uint32),
+        flat_ids,
+        num_segments=b * stride,
+        indices_are_sorted=True,
     )
     prev = jnp.concatenate(
         [jnp.full((b, 1), -1, ids.dtype), ids[:, :-1]], axis=1)
@@ -265,8 +274,8 @@ def build_column_map_batched(grid: SparseGrid, coords, valid) -> ColumnMap:
     slot = jnp.broadcast_to(
         jnp.arange(1, v + 1, dtype=jnp.uint32)[None], (b, v))
     base = (
-        jnp.zeros((b * nbev + 1,), jnp.uint32)
-        .at[jnp.where(is_start, ids, b * nbev + 1).reshape(-1)]
+        jnp.zeros((b * stride,), jnp.uint32)
+        .at[jnp.where(is_start, ids, b * stride).reshape(-1)]
         .set(slot.reshape(-1), mode="drop", unique_indices=True)
     )
     return ColumnMap(jnp.concatenate([occ, base[:, None]], axis=-1), nbev)
@@ -723,3 +732,105 @@ def ingroup_inds(group_ids, valid=None):
     if valid is not None:
         out = jnp.where(valid, out, -1)
     return out
+
+
+def grouped_column_neighbors(grid: SparseGrid, query_coords, query_valid,
+                             colmap: ColumnMap, v: int, offsets, base=0):
+    """3×3×3 neighbor lookup in GROUPED form for packed-row gather-GEMMs.
+
+    Column-contiguous slots (z fastest) put a voxel's z∓1 neighbors at the
+    ADJACENT rows of the feature table, so per BEV tap group (ox, oy) the
+    three z taps can be fetched as ONE 3C-wide packed row instead of three
+    C-wide rows — random gathers cost ~constant time per ROW (round-2/3
+    measurements), so this cuts the sparse conv's feature-fetch rows 3×.
+
+    Returns (idx (Q, 9) int32, p (Q, 9, 3) bool):
+      idx   = row of the would-be z tap (base + rank(z), even when z itself
+              is absent); sentinel v when the BEV cell is empty/OOB.
+      p[..., dz+1] = presence of the (z+dz) tap. Row arithmetic consumed by
+      the packed GEMM (models/sparse_backbone.subm_gather_gemm_grouped):
+        row(z−1) = idx − p0  (block 0 of the packed row when present)
+        row(z)   = idx       (block 1)
+        row(z+1) = idx + p1  (block 1+p1 → select block 1 or 2)
+    Tap order: kernel_offsets(3, 3, 3) (x slowest, z fastest) ⇒ original
+    tap k = g·3 + (dz+1) with g = (ox+1)·3 + (oy+1).
+    """
+    off = np.asarray(offsets, np.int32)
+    assert off.shape[0] == 27 and np.all(np.abs(off) <= 1), "3x3x3 only"
+    x, y, z = query_coords[:, 0], query_coords[:, 1], query_coords[:, 2]
+    idx_g, p_g = [], []
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            cx, cy = x + a, y + b
+            ok2 = (query_valid
+                   & (cx >= 0) & (cx < grid.nx) & (cy >= 0) & (cy < grid.ny))
+            cell = base + (jnp.clip(cy, 0, grid.ny - 1) * grid.nx
+                           + jnp.clip(cx, 0, grid.nx - 1))
+            row = jnp.take(colmap.data, cell, axis=0)  # (Q, 3) u32
+            occ_lo, occ_hi, bp = row[:, 0], row[:, 1], row[:, 2]
+            ok_col = ok2 & (bp > 0)
+            pm1, rank_m1 = _column_rank(occ_lo, occ_hi, z - 1, grid.nz)
+            pc, rank = _column_rank(occ_lo, occ_hi, z, grid.nz)
+            pp1, _ = _column_rank(occ_lo, occ_hi, z + 1, grid.nz)
+            del rank_m1
+            idx = jnp.where(ok_col, bp.astype(jnp.int32) - 1 + rank, v)
+            idx_g.append(idx)
+            p_g.append(jnp.stack(
+                [pm1 & ok_col, pc & ok_col, pp1 & ok_col], axis=-1))
+    return jnp.stack(idx_g, axis=1), jnp.stack(p_g, axis=1)
+
+
+def grouped_transpose_tables(down_grid: SparseGrid, in_coords, in_valid,
+                             out_colmap: ColumnMap, q_cap: int, base=0):
+    """Packed-row transpose tables for the stride-2 conv backward.
+
+    Every tap's implied output parent lies in the 2×2 BEV window at
+    (⌊(x−1)/2⌋, ⌊(y−1)/2⌋) with z-parent ∈ {zp0, zp0+1} (zp0 = ⌊(z−1)/2⌋),
+    so FOUR packed g-row fetches cover all 27 taps; per-tap routing is pure
+    VPU select. Returns:
+      idx_t (V, 4) int32 — row of the zp0 slot per BEV parent (sentinel
+            q_cap when the parent column is empty/OOB),
+      pz    (V, 4, 2) bool — presence of zp0 / zp0+1 in that column,
+      sel   (V, 27) int32 — tap → candidate index (j·2 + wz) ∈ [0, 8),
+      okk   (V, 27) bool — tap parity/bounds validity.
+    Consumed by models/sparse_backbone._down_grouped_bwd.
+    """
+    x, y, z = in_coords[:, 0], in_coords[:, 1], in_coords[:, 2]
+    qx0, qy0 = (x - 1) // 2, (y - 1) // 2
+    zp0 = (z - 1) // 2
+    idx_t, pz = [], []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cx, cy = qx0 + dx, qy0 + dy
+            ok2 = (in_valid & (cx >= 0) & (cx < down_grid.nx)
+                   & (cy >= 0) & (cy < down_grid.ny))
+            cell = base + (jnp.clip(cy, 0, down_grid.ny - 1) * down_grid.nx
+                           + jnp.clip(cx, 0, down_grid.nx - 1))
+            row = jnp.take(out_colmap.data, cell, axis=0)
+            occ_lo, occ_hi, bp = row[:, 0], row[:, 1], row[:, 2]
+            ok_col = ok2 & (bp > 0)
+            p0, rank0 = _column_rank(occ_lo, occ_hi, zp0, down_grid.nz)
+            p1, _ = _column_rank(occ_lo, occ_hi, zp0 + 1, down_grid.nz)
+            idx_t.append(jnp.where(
+                ok_col, bp.astype(jnp.int32) - 1 + rank0, q_cap))
+            pz.append(jnp.stack([p0 & ok_col, p1 & ok_col], axis=-1))
+
+    off = kernel_offsets(3, 3, 3)
+    sels, oks = [], []
+    for k in range(27):
+        oxk, oyk, ozk = int(off[k, 0]), int(off[k, 1]), int(off[k, 2])
+        tx, ty, tz = x - oxk, y - oyk, z - ozk
+        par = ((tx % 2) == 0) & ((ty % 2) == 0) & ((tz % 2) == 0)
+        qx, qy, qz = tx // 2, ty // 2, tz // 2
+        wx, wy, wz = qx - qx0, qy - qy0, qz - zp0
+        ok = (in_valid & par
+              & (qx >= 0) & (qx < down_grid.nx)
+              & (qy >= 0) & (qy < down_grid.ny)
+              & (qz >= 0) & (qz < down_grid.nz)
+              & (wx >= 0) & (wx <= 1) & (wy >= 0) & (wy <= 1)
+              & (wz >= 0) & (wz <= 1))
+        sels.append(jnp.clip((wy * 2 + wx) * 2 + wz, 0, 7))
+        oks.append(ok)
+    return (jnp.stack(idx_t, axis=1), jnp.stack(pz, axis=1),
+            jnp.stack(sels, axis=1).astype(jnp.int32),
+            jnp.stack(oks, axis=1))

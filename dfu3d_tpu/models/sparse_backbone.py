@@ -121,9 +121,25 @@ def _stage_map(grid: SparseGrid, coords, valid):
     return _batched_cell_map(grid, coords, valid)
 
 
+def _batched_grouped_neighbors(grid: SparseGrid, query_coords, query_valid,
+                               nvox: int, cmap):
+    """Grouped (packed-row) 3×3×3 neighbor tables from a columnar map."""
+    from ..core.voxel.sparse_ops import grouped_column_neighbors
+
+    offsets = kernel_offsets(3, 3, 3)
+    bases = column_map_bases(grid, query_coords.shape[0])
+    idx, p = jax.lax.optimization_barrier(jax.vmap(
+        lambda qc, qv, base: grouped_column_neighbors(
+            grid, qc, qv, cmap, nvox, offsets, base)
+    )(query_coords, query_valid, bases))
+    return GroupedNbr(idx, p)
+
+
 def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
-                       valid, offsets, cmap=None):
-    """(B, Q, K) neighbor indices into each element's (V,) voxel list.
+                       valid, offsets, cmap=None, grouped=False):
+    """(B, Q, K) neighbor indices into each element's (V,) voxel list —
+    or a GroupedNbr (packed-row form) when `grouped` and the map is
+    columnar and the kernel is 3×3×3.
 
     Dense cell→slot map (one scatter + one gather) when the grid fits the
     DENSE_MAP_MAX_CELLS budget — ~100× faster than the searchsorted path on
@@ -135,6 +151,11 @@ def _batched_neighbors(grid: SparseGrid, query_coords, query_valid, coords,
     nvox = coords.shape[1]
 
     if isinstance(cmap, ColumnMap):
+        if grouped:
+            off = np.asarray(offsets)
+            assert off.shape[0] == 27 and np.all(np.abs(off) <= 1)
+            return _batched_grouped_neighbors(
+                grid, query_coords, query_valid, nvox, cmap)
         # columnar lookup: one BEV row gather per (ox, oy) tap group + VPU
         # popcount ranking for the z taps (sparse_ops.ColumnMap)
         bases = column_map_bases(grid, query_coords.shape[0])
@@ -307,6 +328,121 @@ def _subm_bwd(res, g):
 subm_gather_gemm.defvjp(_subm_fwd, _subm_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed-row (grouped) submanifold gather-GEMM
+#
+# Column-contiguous voxel slots (z fastest — the round-5 voxelizer order)
+# put a voxel's z∓1 neighbors at ADJACENT table rows, so each BEV tap
+# group's three z taps arrive in ONE 3C-wide packed-row gather: 9 gathered
+# rows per query instead of 27. Random gathers cost ~constant time per row,
+# so this cuts the sparse conv's dominant feature-fetch cost ~3×. Row
+# arithmetic (sparse_ops.grouped_column_neighbors): row(z−1) = idx−p₀ →
+# packed block 0 when present; row(z) = idx → block 1; row(z+1) = idx+p₁ →
+# block 1+p₁. GEMM count and FLOPs are unchanged (27 skinny matmuls); only
+# the fetch rows shrink. Backward reuses the SAME (idx, p) tables by
+# centrosymmetry with the kernel reversed+transposed, and dW shares the
+# gathered cotangent rows (the _shared_gather_bwd trick, grouped).
+# ---------------------------------------------------------------------------
+
+
+def _padded_rows3(feats, valid):
+    """(B, V, C) → (B·(V+1), 3C) packed table: per element, row s holds
+    [T[s−1], T[s], T[s+1]] with T the zero-padded feature table (T[−1] =
+    T[V] = 0), s ∈ [0, V] (s = V is the sentinel row [T[V−1], 0, 0] — its
+    garbage block 0 is always masked by p bits)."""
+    b, v, c = feats.shape
+    fm = jnp.where(valid[..., None], feats, 0.0)
+    tp = jnp.concatenate(
+        [jnp.zeros((b, 1, c), feats.dtype), fm,
+         jnp.zeros((b, 2, c), feats.dtype)], axis=1)  # (B, V+3, C)
+    packed = jnp.concatenate(
+        [tp[:, :-2], tp[:, 1:-1], tp[:, 2:]], axis=-1)  # (B, V+1, 3C)
+    return packed.reshape(b * (v + 1), 3 * c)
+
+
+def _grouped_gather_gemm(feats, valid, idx, p, kernel27):
+    """Σ_k masked-block(packed_gather) @ W[k]; idx (B, Q, 9), p (B, Q, 9, 3),
+    kernel27 (27, Cin, Cout) in kernel_offsets(3,3,3) order."""
+    b, v, c = feats.shape
+    q = idx.shape[1]
+    packed = _padded_rows3(feats, valid)
+    base = (jnp.arange(b, dtype=jnp.int32) * (v + 1))[:, None]
+    out = None
+    for g in range(9):
+        rows = jnp.take(
+            packed, (idx[:, :, g] + base).reshape(-1), axis=0
+        ).reshape(b, q, 3, c)
+        pm = p[:, :, g, 0:1]
+        pc = p[:, :, g, 1:2]
+        pp = p[:, :, g, 2:3]
+        f_m = jnp.where(pm, rows[:, :, 0], 0)
+        f_c = jnp.where(pc, rows[:, :, 1], 0)
+        f_p = jnp.where(pp, jnp.where(pc, rows[:, :, 2], rows[:, :, 1]), 0)
+        # one 3C-contraction GEMM per group (9 MXU calls instead of 27)
+        fg = jnp.concatenate([f_m, f_c, f_p], axis=-1)
+        wg = kernel27[g * 3:g * 3 + 3].reshape(3 * c, -1)
+        contrib = jnp.einsum("bqc,cd->bqd", fg, wg)
+        out = contrib if out is None else out + contrib
+    return out
+
+
+@jax.custom_vjp
+def subm_gather_gemm_grouped(feats, valid, idx, p, kernel):
+    """Packed-row submanifold gather-GEMM (grouped 9-row fetch form)."""
+    return _grouped_gather_gemm(feats, valid, idx, p, kernel)
+
+
+def _gg_fwd(feats, valid, idx, p, kernel):
+    return (_grouped_gather_gemm(feats, valid, idx, p, kernel),
+            (feats, valid, idx, p, kernel))
+
+
+def _gg_bwd(res, g):
+    feats, valid, idx, p, kernel = res
+    b, v, c = feats.shape
+    d = g.shape[-1]
+    # centrosymmetry: for subm the query set == the voxel set, so the SAME
+    # (idx, p) tables serve the transpose pass; tap k applies Wᵀ[26−k]
+    kernel_t = kernel[::-1].transpose(0, 2, 1)  # (27, D, Cin)
+    g_packed = _padded_rows3(g, valid)
+    base = (jnp.arange(b, dtype=jnp.int32) * (v + 1))[:, None]
+    feats_masked = jnp.where(valid[..., None], feats, 0.0)
+    dx = None
+    dws = [None] * 27
+    for gr in range(9):
+        rows = jnp.take(
+            g_packed, (idx[:, :, gr] + base).reshape(-1), axis=0
+        ).reshape(b, v, 3, d)
+        pm = p[:, :, gr, 0:1]
+        pc = p[:, :, gr, 1:2]
+        pp = p[:, :, gr, 2:3]
+        taps = (
+            jnp.where(pm, rows[:, :, 0], 0),
+            jnp.where(pc, rows[:, :, 1], 0),
+            jnp.where(pp, jnp.where(pc, rows[:, :, 2], rows[:, :, 1]), 0),
+        )
+        for dz in range(3):
+            j = gr * 3 + dz
+            gt = taps[dz]
+            contrib = jnp.einsum("bvd,dc->bvc", gt, kernel_t[j])
+            dx = contrib if dx is None else dx + contrib
+            # dW[26−j] = Σ_p feats[p] ⊗ g[t_j(p)] (fp32 accumulation)
+            dws[26 - j] = jnp.einsum("bvc,bvd->cd", feats_masked, gt,
+                                     preferred_element_type=jnp.float32)
+    dx = jnp.where(valid[..., None], dx, 0.0).astype(feats.dtype)
+    return dx, None, None, None, jnp.stack(dws).astype(kernel.dtype)
+
+
+subm_gather_gemm_grouped.defvjp(_gg_fwd, _gg_bwd)
+
+
+class GroupedNbr(NamedTuple):
+    """Grouped neighbor tables for the packed-row subm path."""
+
+    idx: jnp.ndarray  # (B, Q, 9) int32, sentinel V
+    p: jnp.ndarray    # (B, Q, 9, 3) bool
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def down_gather_gemm(feats, valid, nbr, tnbr, kernel):
     """Strided-conv gather-GEMM with a gather-only backward via a transpose
@@ -337,6 +473,60 @@ def _down_bwd(res, g):
 down_gather_gemm.defvjp(_down_fwd, _down_bwd)
 
 
+@jax.custom_vjp
+def down_gather_gemm_grouped(feats, valid, idx, p, t_idx, t_pz, t_sel, t_ok,
+                             kernel):
+    """Strided-conv gather-GEMM, fully packed: the FORWARD fetches 9 packed
+    rows/query (vs 27), and the BACKWARD fetches 4 packed g-rows per input
+    voxel — the 2×2 BEV parent window (sparse_ops.grouped_transpose_tables)
+    — routing each of the 27 taps to one of the 8 candidate parents with
+    VPU selects (vs 27 element gathers per voxel)."""
+    return _grouped_gather_gemm(feats, valid, idx, p, kernel)
+
+
+def _down_g_fwd(feats, valid, idx, p, t_idx, t_pz, t_sel, t_ok, kernel):
+    return (_grouped_gather_gemm(feats, valid, idx, p, kernel),
+            (feats, valid, t_idx, t_pz, t_sel, t_ok, kernel))
+
+
+def _down_g_bwd(res, g):
+    feats, valid, t_idx, t_pz, t_sel, t_ok, kernel = res
+    b, v, c = feats.shape
+    q, d = g.shape[1], g.shape[-1]
+    # conv output rows at invalid slots are already zero (the layer masks)
+    g_packed = _padded_rows3(g, jnp.ones(g.shape[:2], bool))
+    base = (jnp.arange(b, dtype=jnp.int32) * (q + 1))[:, None]
+    feats_masked = jnp.where(valid[..., None], feats, 0.0)
+    cand = []
+    for j in range(4):
+        rows = jnp.take(
+            g_packed, (t_idx[:, :, j] + base).reshape(-1), axis=0
+        ).reshape(b, v, 3, d)
+        p0 = t_pz[:, :, j, 0:1]
+        p1 = t_pz[:, :, j, 1:2]
+        cand.append(jnp.where(p0, rows[:, :, 1], 0))
+        cand.append(jnp.where(
+            p1, jnp.where(p0, rows[:, :, 2], rows[:, :, 1]), 0))
+    dx = None
+    dws = [None] * 27
+    for k in range(27):
+        selk = t_sel[:, :, k][..., None]
+        okk = t_ok[:, :, k][..., None]
+        gt = jnp.zeros_like(cand[0])
+        for cidx in range(8):
+            gt = jnp.where(okk & (selk == cidx), cand[cidx], gt)
+        contrib = jnp.einsum("bvd,cd->bvc", gt, kernel[k])
+        dx = contrib if dx is None else dx + contrib
+        dws[k] = jnp.einsum("bvc,bvd->cd", feats_masked, gt,
+                            preferred_element_type=jnp.float32)
+    dx = jnp.where(valid[..., None], dx, 0.0).astype(feats.dtype)
+    return (dx, None, None, None, None, None, None, None,
+            jnp.stack(dws).astype(kernel.dtype))
+
+
+down_gather_gemm_grouped.defvjp(_down_g_fwd, _down_g_bwd)
+
+
 class SubMConv3d(nn.Module):
     """Submanifold sparse conv: output set == input set.
 
@@ -361,9 +551,15 @@ class SubMConv3d(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
             (len(offsets), cin, self.out_channels), jnp.float32,
         )
-        out = subm_gather_gemm(
-            st.features.astype(self.dtype), st.valid, nbr, w.astype(self.dtype)
-        )
+        if isinstance(nbr, GroupedNbr):
+            assert tuple(self.kernel_size) == (3, 3, 3)
+            out = subm_gather_gemm_grouped(
+                st.features.astype(self.dtype), st.valid, nbr.idx, nbr.p,
+                w.astype(self.dtype))
+        else:
+            out = subm_gather_gemm(
+                st.features.astype(self.dtype), st.valid, nbr,
+                w.astype(self.dtype))
         out = jnp.where(st.valid[..., None], out, 0.0)
         return SparseTensor(out, st.coords, st.valid, st.grid)
 
@@ -402,9 +598,11 @@ class SparseConv3dDown(nn.Module):
             centers = out_coords * 2
             ks = self.kernel_size
         offsets = kernel_offsets(*ks)
+        use_grouped = (isinstance(in_cmap, ColumnMap)
+                       and not self.z_only and tuple(ks) == (3, 3, 3))
         nbr = _batched_neighbors(
             st.grid, centers, out_valid, st.coords, st.valid, offsets,
-            cmap=in_cmap,
+            cmap=in_cmap, grouped=use_grouped,
         )
         cin = st.features.shape[-1]
         w = self.param(
@@ -427,6 +625,21 @@ class SparseConv3dDown(nn.Module):
             # per input voxel full-3D, 1 row z_only); else packed 2×2×2
             # windows for 3³ strides / the element path for wider kernels
             # (SPCONV_KERNEL_SIZES 5 in voxelnext_ioubranch_large)
+            if isinstance(nbr, GroupedNbr) and isinstance(out_cmap, ColumnMap):
+                from ..core.voxel.sparse_ops import grouped_transpose_tables
+
+                bases = column_map_bases(down, st.coords.shape[0])
+                tt = jax.lax.optimization_barrier(jax.vmap(
+                    lambda ic, iv, base: grouped_transpose_tables(
+                        down, ic, iv, out_cmap, self.out_cap, base)
+                )(st.coords, st.valid, bases))
+                out = down_gather_gemm_grouped(
+                    feats, st.valid, nbr.idx, nbr.p, *tt, wk)
+                out = jnp.where(out_valid[..., None], out, 0.0)
+                st_out = SparseTensor(out, out_coords, out_valid, down)
+                if return_out_cmap:
+                    return st_out, out_cmap
+                return st_out
             if isinstance(out_cmap, ColumnMap):
                 bases = column_map_bases(down, st.coords.shape[0])
                 t_fn = lambda ic, iv, base: transpose_down_neighbors_column(  # noqa: E731
@@ -448,6 +661,8 @@ class SparseConv3dDown(nn.Module):
                 jax.vmap(t_fn)(st.coords, st.valid, bases)
             )
             out = down_gather_gemm(feats, st.valid, nbr, tnbr, wk)
+        elif isinstance(nbr, GroupedNbr):
+            out = _grouped_gather_gemm(feats, st.valid, nbr.idx, nbr.p, wk)
         else:
             out = _gather_gemm(feats, st.valid, nbr, wk)
         out = jnp.where(out_valid[..., None], out, 0.0)
@@ -493,7 +708,7 @@ class VoxelBackBone8x(nn.Module):
                 cmap = _stage_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
-                cmap=cmap,
+                cmap=cmap, grouped=True,
             )
             return cmap, nbr
 
@@ -572,7 +787,7 @@ class SparseEncoder(nn.Module):
                 cmap = _stage_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
-                cmap=cmap,
+                cmap=cmap, grouped=True,
             )
             return cmap, nbr
 
@@ -719,7 +934,7 @@ class VoxelResBackBone8x(nn.Module):
                 cmap = _stage_map(st.grid, st.coords, st.valid)
             nbr = _batched_neighbors(
                 st.grid, st.coords, st.valid, st.coords, st.valid, offsets,
-                cmap=cmap,
+                cmap=cmap, grouped=True,
             )
             return cmap, nbr
 

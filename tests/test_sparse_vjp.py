@@ -429,3 +429,151 @@ class TestColumnarMap:
         vc = np.asarray(out.voxel_coords)[: int(out.num_voxels)]
         key = (vc[:, 1] * 8 + vc[:, 0]) * 8 + vc[:, 2]
         assert np.all(np.diff(key) > 0)
+
+
+class TestGroupedSubm:
+    """Packed-row (grouped) subm/down gather-GEMM == the element-form ops,
+    forward AND gradients (round-5: 9 packed 3C-wide fetch rows replace 27
+    C-wide rows using the column-contiguity invariant)."""
+
+    def _setup(self, seed=0, nz=12):
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_column_map_batched, column_map_bases,
+            grouped_column_neighbors)
+
+        rng = np.random.RandomState(seed)
+        grid = SparseGrid(11, 9, nz)
+        b, v, cin, cout = 2, 128, 5, 7
+        coords, valid = _random_column_sorted(rng, b, v, grid, 100)
+        offsets = kernel_offsets(3, 3, 3)
+        colmap = build_column_map_batched(grid, coords, valid)
+        idx, p = jax.vmap(
+            lambda qc, qv, base: grouped_column_neighbors(
+                grid, qc, qv, colmap, v, offsets, base)
+        )(coords, valid, column_map_bases(grid, b))
+        nbr = _batched_neighbors(grid, coords, valid, coords, valid, offsets)
+        feats = jnp.asarray(rng.randn(b, v, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+        return grid, coords, valid, feats, w, nbr, idx, p
+
+    def test_forward_equal(self):
+        from dfu3d_tpu.models.sparse_backbone import subm_gather_gemm_grouped
+
+        for seed, nz in ((0, 12), (1, 40), (2, 64)):
+            _g, _c, valid, feats, w, nbr, idx, p = self._setup(seed, nz)
+            want = np.asarray(subm_gather_gemm(feats, valid, nbr, w))
+            got = np.asarray(subm_gather_gemm_grouped(feats, valid, idx, p, w))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grads_equal(self):
+        from dfu3d_tpu.models.sparse_backbone import subm_gather_gemm_grouped
+
+        _g, _c, valid, feats, w, nbr, idx, p = self._setup(3)
+        cot = jnp.asarray(
+            np.random.RandomState(9).randn(*feats.shape[:2], 7).astype(
+                np.float32))
+
+        def loss_el(f, k):
+            return jnp.sum(subm_gather_gemm(f, valid, nbr, k) * cot)
+
+        def loss_gr(f, k):
+            return jnp.sum(
+                subm_gather_gemm_grouped(f, valid, idx, p, k) * cot)
+
+        gf_e, gk_e = jax.grad(loss_el, argnums=(0, 1))(feats, w)
+        gf_g, gk_g = jax.grad(loss_gr, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gf_g), np.asarray(gf_e),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk_g), np.asarray(gk_e),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_down_forward_equal(self):
+        """Grouped fetch at strided-2 centers == element fetch."""
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_column_map_batched, column_map_bases, downsample_coords,
+            grouped_column_neighbors)
+        from dfu3d_tpu.models.sparse_backbone import _grouped_gather_gemm
+
+        rng = np.random.RandomState(5)
+        grid = SparseGrid(12, 10, 40)
+        down = grid.down()
+        b, v, cin, cout, q_cap = 2, 160, 4, 6, 128
+        coords, valid = _random_column_sorted(rng, b, v, grid, 130)
+        out_c, out_v, _ = jax.vmap(
+            lambda c, vd: downsample_coords(down, c, vd, q_cap)
+        )(coords, valid)
+        centers = out_c * 2
+        offsets = kernel_offsets(3, 3, 3)
+        feats = jnp.asarray(rng.randn(b, v, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+        nbr = _batched_neighbors(grid, centers, out_v, coords, valid, offsets)
+        want = np.asarray(_gather_gemm(feats, valid, nbr, w))
+        colmap = build_column_map_batched(grid, coords, valid)
+        idx, p = jax.vmap(
+            lambda qc, qv, base: grouped_column_neighbors(
+                grid, qc, qv, colmap, v, offsets, base)
+        )(centers, out_v, column_map_bases(grid, b))
+        got = np.asarray(_grouped_gather_gemm(feats, valid, idx, p, w))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_down_grouped_grads_equal(self):
+        """down_gather_gemm_grouped (packed fwd + 4-row packed transpose
+        bwd) grads == the element-form down_gather_gemm grads."""
+        from dfu3d_tpu.core.voxel.sparse_ops import (
+            build_column_map_batched, column_map_bases, downsample_coords,
+            grouped_column_neighbors, grouped_transpose_tables)
+        from dfu3d_tpu.models.sparse_backbone import (
+            _batched_cell_map, down_gather_gemm, down_gather_gemm_grouped)
+        from dfu3d_tpu.core.voxel.sparse_ops import transpose_down_neighbors
+
+        rng = np.random.RandomState(7)
+        grid = SparseGrid(12, 10, 40)
+        down = grid.down()
+        b, v, cin, cout, q_cap = 2, 160, 4, 6, 128
+        coords, valid = _random_column_sorted(rng, b, v, grid, 130)
+        out_c, out_v, _ = jax.vmap(
+            lambda c, vd: downsample_coords(down, c, vd, q_cap)
+        )(coords, valid)
+        centers = out_c * 2
+        offsets = kernel_offsets(3, 3, 3)
+        feats = jnp.asarray(rng.randn(b, v, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+        cot = jnp.asarray(rng.randn(b, q_cap, cout).astype(np.float32))
+        cot = jnp.where(out_v[..., None], cot, 0.0)
+
+        # element reference
+        nbr = _batched_neighbors(grid, centers, out_v, coords, valid, offsets)
+        dmap = _batched_cell_map(down, out_c, out_v)
+        tnbr = jax.vmap(
+            lambda ic, iv, base: transpose_down_neighbors(
+                down, ic, iv, dmap, q_cap, offsets, base=base)
+        )(coords, valid, map_bases(down, b))
+
+        def loss_el(f, k):
+            return jnp.sum(down_gather_gemm(f, valid, nbr, tnbr, k) * cot)
+
+        # grouped
+        colmap = build_column_map_batched(grid, coords, valid)
+        idx, p = jax.vmap(
+            lambda qc, qv, base: grouped_column_neighbors(
+                grid, qc, qv, colmap, v, offsets, base)
+        )(centers, out_v, column_map_bases(grid, b))
+        ocolmap = build_column_map_batched(down, out_c, out_v)
+        tt = jax.vmap(
+            lambda ic, iv, base: grouped_transpose_tables(
+                down, ic, iv, ocolmap, q_cap, base)
+        )(coords, valid, column_map_bases(down, b))
+
+        def loss_gr(f, k):
+            return jnp.sum(
+                down_gather_gemm_grouped(f, valid, idx, p, *tt, k) * cot)
+
+        f_e = float(loss_el(feats, w))
+        f_g = float(loss_gr(feats, w))
+        np.testing.assert_allclose(f_g, f_e, rtol=1e-5)
+        gf_e, gk_e = jax.grad(loss_el, argnums=(0, 1))(feats, w)
+        gf_g, gk_g = jax.grad(loss_gr, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gf_g), np.asarray(gf_e),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gk_g), np.asarray(gk_e),
+                                   rtol=1e-4, atol=1e-4)
