@@ -109,7 +109,6 @@ def bench_second():
     from dfu3d_tpu.core.voxel import VoxelGrid
     from dfu3d_tpu.models import build_network
     from dfu3d_tpu.train import build_optimizer, create_train_state
-    from dfu3d_tpu.train.train_state import make_train_step
     from dfu3d_tpu.utils.config import CfgDict, cfg_from_yaml_file
 
     cfg = CfgDict()
@@ -123,18 +122,34 @@ def bench_second():
     batch = jax.device_put(_synthetic_batch(B, 120000, 128, 60.0))
     tx, _ = build_optimizer(cfg.OPTIMIZATION, total_steps=1000)
     state = create_train_state(model, batch, tx)
-    step = jax.jit(make_train_step(model, tx), donate_argnums=0)
-    best, median, _ = _time_step(step, state, batch, trials=2, iters=8)
+    # same methodology as the flagship headline: time the trainer's
+    # steps_per_dispatch scan path (the production loop), which amortizes the
+    # tunneled chip's per-dispatch host round trip
+    best, median, _ = _time_multi_step(model, tx, state, batch,
+                                       trials=3, iters=8)
     return best, median
 
 
 def main():
+    import gc
+    import sys
+    import traceback
+
     sps_best, sps_median, flops_per_sec, sps_dispatched, bytes_per_sec = (
         bench_flagship()
     )
+    # drop the flagship state/compiled-step before the SECOND bench: the 60k
+    # sparse step's compile needs headroom on the 16 GB chip, and jit caches
+    # keep donated buffers alive until cleared
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
     try:
         sec_best, sec_median = bench_second()
     except Exception:
+        # keep stdout as the single JSON line; failures must be visible
+        traceback.print_exc(file=sys.stderr)
         sec_best = sec_median = None
 
     if BASELINE_FILE.exists():
